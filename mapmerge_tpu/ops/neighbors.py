@@ -1,0 +1,217 @@
+"""Dense tiled neighbor engine — the TPU replacement for PCL kd-trees.
+
+Every neighborhood query in the reference goes through pcl::search::KdTree
+(radius search in RadiusOutlierRemoval/NormalEstimation/descriptor
+estimators, k-NN in matching — see SURVEY.md §2b). Pointer-chasing trees are
+hostile to the MXU, so here *all* neighbor queries are exact dense distance
+computations, tiled over the query axis so only a (tile, P) slab is ever
+materialized. Squared distances come from the matmul identity
+|q-p|^2 = |q|^2 + |p|^2 - 2 q.p (runs on the MXU); inputs are centered first
+to keep the cancellation error well below the radii in play.
+
+All functions are mask-aware: invalid points are parked at FAR by the cloud
+model, and masks are applied explicitly on top.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from mapmerge_tpu.core.cloud import FAR
+
+#: squared-distance value used to exclude masked pairs
+BIG = 1.0e12
+
+
+def _center(q: jax.Array, p: jax.Array, p_mask: jax.Array | None):
+    """Shift both point sets by the (valid-)mean of p to tame cancellation."""
+    if p_mask is None:
+        mean = jnp.mean(p, axis=0)
+    else:
+        w = p_mask.astype(p.dtype)
+        mean = jnp.sum(p * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    return q - mean, p - mean
+
+
+def sq_dists(q: jax.Array, p: jax.Array) -> jax.Array:
+    """(Q, 3) x (P, 3) -> (Q, P) squared distances on the MXU."""
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)
+    pp = jnp.sum(p * p, axis=-1, keepdims=True)
+    qp = jnp.dot(
+        q,
+        p.T,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(qq + pp.T - 2.0 * qp, 0.0)
+
+
+def _pad_queries(q: jax.Array, tile: int) -> tuple[jax.Array, int]:
+    n = q.shape[0]
+    num_tiles = -(-n // tile)
+    pad = num_tiles * tile - n
+    if pad:
+        q = jnp.concatenate([q, jnp.full((pad, q.shape[1]), FAR, q.dtype)], axis=0)
+    return q, n
+
+
+def tiled_query(
+    q: jax.Array,
+    p: jax.Array,
+    tile_fn: Callable[[jax.Array], jax.Array | tuple],
+    tile: int = 1024,
+):
+    """Run `tile_fn` over (tile, 3) query slabs and concatenate results.
+
+    `tile_fn` receives a (tile, 3) slab of queries and returns array(s) whose
+    leading dim is `tile`. Sequential `lax.map` over slabs bounds peak memory
+    at one (tile, P) distance slab.
+    """
+    q_padded, n = _pad_queries(q, tile)
+    slabs = q_padded.reshape(-1, tile, q.shape[1])
+    out = jax.lax.map(tile_fn, slabs)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:])[:n], out
+    )
+
+
+def radius_count(
+    q: jax.Array,
+    p: jax.Array,
+    radius: float,
+    p_mask: jax.Array | None = None,
+    tile: int = 1024,
+    include_self: bool = True,
+) -> jax.Array:
+    """Count of p-points within `radius` of each query (Q,) int32.
+
+    Backs the RadiusOutlierRemoval equivalent (reference
+    src/features.cpp:31-43). `include_self=False` subtracts the query point
+    itself when q is drawn from p (a zero-distance hit).
+    """
+    qc, pc = _center(q, p, p_mask)
+    r2 = jnp.float32(radius * radius)
+    pm = None if p_mask is None else p_mask
+
+    def tile_fn(q_slab):
+        d2 = sq_dists(q_slab, pc)
+        within = d2 <= r2
+        if pm is not None:
+            within = within & pm[None, :]
+        counts = jnp.sum(within, axis=-1).astype(jnp.int32)
+        return counts
+
+    counts = tiled_query(qc, pc, tile_fn, tile)
+    if not include_self:
+        counts = counts - 1
+    return counts
+
+
+def radius_neighbors(
+    q: jax.Array,
+    p: jax.Array,
+    radius: float,
+    k: int,
+    p_mask: jax.Array | None = None,
+    tile: int = 1024,
+    exclude_self: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Up to `k` nearest p-points within `radius` per query.
+
+    Returns (idx (Q, k) int32, d2 (Q, k) f32, valid (Q, k) bool), nearest
+    first. This is the fixed-degree gather that replaces PCL's variable-size
+    radiusSearch results (SURVEY.md §7 "Hard parts": capped neighborhoods).
+    """
+    qc, pc = _center(q, p, p_mask)
+    r2 = jnp.float32(radius * radius)
+
+    def tile_fn(q_slab):
+        d2 = sq_dists(q_slab, pc)
+        if p_mask is not None:
+            d2 = jnp.where(p_mask[None, :], d2, BIG)
+        if exclude_self:
+            d2 = jnp.where(d2 <= 1e-12, BIG, d2)
+        neg, idx = jax.lax.top_k(-d2, k)
+        d2k = -neg
+        valid = d2k <= r2
+        return idx.astype(jnp.int32), d2k, valid
+
+    return tiled_query(qc, pc, tile_fn, tile)
+
+
+def nearest_neighbor(
+    q: jax.Array,
+    p: jax.Array,
+    p_mask: jax.Array | None = None,
+    tile: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact 1-NN: (idx (Q,), squared distance (Q,)).
+
+    Backs ICP correspondence search and transformScore (reference
+    src/matching.cpp:196-221, 259-268).
+    """
+    qc, pc = _center(q, p, p_mask)
+
+    def tile_fn(q_slab):
+        d2 = sq_dists(q_slab, pc)
+        if p_mask is not None:
+            d2 = jnp.where(p_mask[None, :], d2, BIG)
+        idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        return idx, jnp.min(d2, axis=-1)
+
+    return tiled_query(qc, pc, tile_fn, tile)
+
+
+def neighbor_moments(
+    q: jax.Array,
+    p: jax.Array,
+    radius: float,
+    p_mask: jax.Array | None = None,
+    tile: int = 1024,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Zeroth/first/second moments of the radius neighborhood of each query.
+
+    Returns (count (Q,), mean (Q, 3), cov (Q, 3, 3)) where cov is the
+    neighborhood covariance — everything NormalEstimation needs
+    (reference src/features.cpp:168-179), computed entirely as MXU matmuls:
+    w @ 1, w @ p, and w @ (p ⊗ p) with w the {0,1} within-radius matrix.
+    """
+    qc, pc = _center(q, p, p_mask)
+    r2 = jnp.float32(radius * radius)
+    # outer products flattened to (P, 9): upper triangle would suffice but 9
+    # keeps the layout trivially matmul-able
+    pp = (pc[:, :, None] * pc[:, None, :]).reshape(-1, 9)
+
+    def tile_fn(q_slab):
+        d2 = sq_dists(q_slab, pc)
+        within = d2 <= r2
+        if p_mask is not None:
+            within = within & p_mask[None, :]
+        w = within.astype(jnp.float32)
+        s0 = jnp.sum(w, axis=-1)
+        s1 = jnp.dot(
+            w, pc, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        s2 = jnp.dot(
+            w, pp, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        denom = jnp.maximum(s0, 1.0)[:, None]
+        mean = s1 / denom
+        e_outer = s2 / denom[..., None].reshape(-1, 1)
+        cov = e_outer.reshape(-1, 3, 3) - mean[:, :, None] * mean[:, None, :]
+        return s0, mean, cov
+
+    count, mean, cov = tiled_query(qc, pc, tile_fn, tile)
+    # un-center the mean back to the input frame
+    if p_mask is None:
+        shift = jnp.mean(p, axis=0)
+    else:
+        w = p_mask.astype(p.dtype)
+        shift = jnp.sum(p * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    return count, mean + shift, cov

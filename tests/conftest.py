@@ -1,0 +1,30 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so the full multi-chip sharding path
+(jax.sharding.Mesh + shard_map over the pair axis) executes without TPU
+hardware. Must be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the box pins JAX_PLATFORMS=axon
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU backend and sets
+# jax_platforms="axon,cpu" at interpreter start; override it back so tests
+# run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
