@@ -1,0 +1,70 @@
+"""Descriptor dispatch registry.
+
+TPU equivalent of the reference's compile-time descriptor registry
+(map_merge_3d/src/dispatch_descriptors.h:28-121): one call surface for all
+descriptor types, dispatch by enum or by dimensionality recovered from the
+data itself (the reference recovers type from the PointCloud2 field name,
+matching.cpp:102; here the feature dim is the discriminator).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from mapmerge_tpu.core.cloud import PointCloud
+from mapmerge_tpu.core.enums import DESCRIPTOR_DIMS, Descriptor
+from mapmerge_tpu.ops.descriptors.base import Descriptors
+from mapmerge_tpu.ops.descriptors.fpfh import compute_fpfh
+from mapmerge_tpu.ops.keypoints.harris import Keypoints
+from mapmerge_tpu.ops.normals import SurfaceNormals
+
+_REGISTRY: dict[Descriptor, Callable] = {}
+
+
+def register(kind: Descriptor):
+    def deco(fn):
+        _REGISTRY[kind] = fn
+        return fn
+
+    return deco
+
+
+def compute_descriptors(
+    cloud: PointCloud,
+    normals: SurfaceNormals,
+    keypoints: Keypoints,
+    kind: Descriptor,
+    radius: float,
+    max_neighbors: int = 64,
+    tile: int = 1024,
+) -> Descriptors:
+    """Compute `kind` descriptors at keypoints over the `cloud` surface
+    (reference features.cpp:152-166 -> dispatch_descriptors.h:113)."""
+    fn = _REGISTRY.get(kind)
+    if fn is None:
+        raise NotImplementedError(
+            f"descriptor {kind} not implemented yet; available: "
+            f"{sorted(k.value for k in _REGISTRY)}"
+        )
+    return fn(
+        cloud, normals, keypoints, radius, max_neighbors=max_neighbors, tile=tile
+    )
+
+
+def descriptor_kind_from_dim(dim: int) -> Descriptor:
+    """Recover descriptor type from data dimensionality (the reference
+    recovers it from the embedded field name, matching.cpp:96-107)."""
+    for kind, d in DESCRIPTOR_DIMS.items():
+        if d == dim:
+            return kind
+    raise ValueError(f"no descriptor type with dimensionality {dim}")
+
+
+_REGISTRY[Descriptor.FPFH] = compute_fpfh
+
+__all__ = [
+    "Descriptors",
+    "compute_descriptors",
+    "descriptor_kind_from_dim",
+    "register",
+]

@@ -1,0 +1,104 @@
+"""FPFH-33 descriptors.
+
+TPU-native equivalent of pcl::FPFHEstimation (reference
+dispatch_descriptors.h:40, FPFHSignature33): Simplified Point Feature
+Histograms per surface point, then distance-weighted aggregation over each
+keypoint's neighborhood.
+
+Shapes are fixed: neighborhoods are the capped radius gather
+(ops/neighbors.radius_neighbors, nearest-first), pair features come from the
+shared Darboux core, and histograms are one-hot matmuls. PCL semantics kept:
+- SPFH sub-histograms (11 bins each for theta/alpha/phi) normalized to
+  sum 100 over the neighborhood;
+- FPFH(keypoint) = sum over its surface neighbors j (distance > 0) of
+  (1/d_j) SPFH_j, then each 11-bin block renormalized to 100 (PCL's
+  weightPointSPFHSignature, which skips zero-distance self hits);
+- descriptors with empty neighborhoods are invalid (the reference drops
+  them with their keypoints, features.cpp:118-141; we mask).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mapmerge_tpu.core.cloud import PointCloud
+from mapmerge_tpu.ops.descriptors.base import Descriptors
+from mapmerge_tpu.ops.descriptors.darboux import (
+    bin_index,
+    one_hot_histogram,
+    pair_features,
+)
+from mapmerge_tpu.ops.keypoints.harris import Keypoints
+from mapmerge_tpu.ops.neighbors import radius_neighbors
+from mapmerge_tpu.ops.normals import SurfaceNormals
+
+_BINS = 11
+_PI = float(jnp.pi)
+
+
+def _spfh(
+    cloud: PointCloud,
+    normals: SurfaceNormals,
+    radius: float,
+    max_neighbors: int,
+    tile: int,
+) -> tuple[jax.Array, jax.Array]:
+    """SPFH (P, 33) for every valid surface point + validity (P,)."""
+    p_ok = cloud.mask & normals.valid
+    idx, _, nmask = radius_neighbors(
+        cloud.xyz, cloud.xyz, radius, max_neighbors,
+        p_mask=p_ok, tile=tile, exclude_self=True,
+    )
+    nbr_xyz = cloud.xyz[idx]  # (P, M, 3)
+    nbr_nrm = normals.normals[idx]
+    theta, alpha, phi, _, pair_ok = pair_features(
+        cloud.xyz[:, None, :], normals.normals[:, None, :], nbr_xyz, nbr_nrm
+    )
+    w = (nmask & pair_ok & p_ok[:, None]).astype(jnp.float32)
+
+    h_theta = one_hot_histogram(bin_index(theta, -_PI, _PI, _BINS), w, _BINS)
+    h_alpha = one_hot_histogram(bin_index(alpha, -1.0, 1.0, _BINS), w, _BINS)
+    h_phi = one_hot_histogram(bin_index(phi, -1.0, 1.0, _BINS), w, _BINS)
+
+    total = jnp.sum(w, axis=-1, keepdims=True)
+    scale = jnp.where(total > 0, 100.0 / jnp.maximum(total, 1.0), 0.0)
+    spfh = jnp.concatenate([h_theta, h_alpha, h_phi], axis=-1) * scale
+    return spfh, p_ok & (total[:, 0] > 0)
+
+
+def compute_fpfh(
+    cloud: PointCloud,
+    normals: SurfaceNormals,
+    keypoints: Keypoints,
+    radius: float,
+    max_neighbors: int = 64,
+    tile: int = 1024,
+) -> Descriptors:
+    """FPFH-33 at each keypoint over the full-resolution search surface
+    (reference features.cpp:99-150 template instantiated with
+    pcl::FPFHEstimation)."""
+    spfh, spfh_ok = _spfh(cloud, normals, radius, max_neighbors, tile)
+
+    idx, d2, nmask = radius_neighbors(
+        keypoints.xyz, cloud.xyz, radius, max_neighbors,
+        p_mask=cloud.mask & normals.valid, tile=tile,
+    )
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    w = jnp.where(
+        nmask & spfh_ok[idx] & (dist > 1e-9) & keypoints.mask[:, None],
+        1.0 / jnp.maximum(dist, 1e-9),
+        0.0,
+    )  # (K, M)
+    fpfh = jnp.einsum(
+        "km,kmd->kd", w, spfh[idx], precision=jax.lax.Precision.HIGHEST
+    )
+
+    # renormalize each 11-bin block to sum 100
+    blocks = fpfh.reshape(-1, 3, _BINS)
+    sums = jnp.sum(blocks, axis=-1, keepdims=True)
+    blocks = jnp.where(sums > 0, blocks * (100.0 / jnp.maximum(sums, 1e-9)), 0.0)
+    data = blocks.reshape(-1, 3 * _BINS)
+
+    valid = keypoints.mask & (jnp.sum(w, axis=-1) > 0)
+    return Descriptors(data=jnp.where(valid[:, None], data, 0.0), valid=valid)

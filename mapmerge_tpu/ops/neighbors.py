@@ -128,6 +128,7 @@ def radius_neighbors(
     """
     qc, pc = _center(q, p, p_mask)
     r2 = jnp.float32(radius * radius)
+    k_eff = min(k, p.shape[0])
 
     def tile_fn(q_slab):
         d2 = sq_dists(q_slab, pc)
@@ -135,12 +136,18 @@ def radius_neighbors(
             d2 = jnp.where(p_mask[None, :], d2, BIG)
         if exclude_self:
             d2 = jnp.where(d2 <= 1e-12, BIG, d2)
-        neg, idx = jax.lax.top_k(-d2, k)
+        neg, idx = jax.lax.top_k(-d2, k_eff)
         d2k = -neg
         valid = d2k <= r2
         return idx.astype(jnp.int32), d2k, valid
 
-    return tiled_query(qc, pc, tile_fn, tile)
+    idx, d2k, valid = tiled_query(qc, pc, tile_fn, tile)
+    if k_eff < k:  # pad back to the requested fixed width
+        pad = k - k_eff
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        d2k = jnp.pad(d2k, ((0, 0), (0, pad)), constant_values=BIG)
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    return idx, d2k, valid
 
 
 def nearest_neighbor(
@@ -162,6 +169,49 @@ def nearest_neighbor(
             d2 = jnp.where(p_mask[None, :], d2, BIG)
         idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
         return idx, jnp.min(d2, axis=-1)
+
+    return tiled_query(qc, pc, tile_fn, tile)
+
+
+def radius_reduce(
+    q: jax.Array,
+    p: jax.Array,
+    radius: float,
+    values: jax.Array,
+    p_mask: jax.Array | None = None,
+    tile: int = 1024,
+    reduce: str = "sum",
+) -> tuple[jax.Array, jax.Array]:
+    """Reduce `values` (P, C) over each query's radius neighborhood.
+
+    reduce="sum": returns (count (Q,), sums (Q, C)) via one MXU matmul per
+    tile (w @ values with w the within-radius {0,1} matrix).
+    reduce="max": returns (count (Q,), maxes (Q, C)) via masked max.
+    The workhorse behind Harris response accumulation and non-max
+    suppression — any per-neighborhood statistic without a kd-tree.
+    """
+    qc, pc = _center(q, p, p_mask)
+    r2 = jnp.float32(radius * radius)
+
+    def tile_fn(q_slab):
+        d2 = sq_dists(q_slab, pc)
+        within = d2 <= r2
+        if p_mask is not None:
+            within = within & p_mask[None, :]
+        count = jnp.sum(within, axis=-1).astype(jnp.int32)
+        if reduce == "sum":
+            w = within.astype(jnp.float32)
+            out = jnp.dot(
+                w, values, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        elif reduce == "max":
+            out = jnp.max(
+                jnp.where(within[:, :, None], values[None], -BIG), axis=1
+            )
+        else:
+            raise ValueError(f"unknown reduce: {reduce}")
+        return count, out
 
     return tiled_query(qc, pc, tile_fn, tile)
 

@@ -1,0 +1,160 @@
+"""High-level N-map merging API.
+
+Equivalent of the reference's L3 interface (map_merge_3d/src/map_merging.cpp,
+include/map_merge_3d/map_merging.h): estimate_maps_transforms + compose_maps
+with the same contracts —
+  empty input -> [];  single cloud -> [identity];
+  per-map failure -> zero matrix (map_merging.h:81-84);
+  compose skips zero transforms and re-voxelizes at output resolution
+  (map_merging.cpp:277-305);
+  transforms list sized by the highest node index seen in pairwise estimates
+  (map_merging.cpp:167), like the reference.
+
+Architecture difference (TPU-first): the reference runs four sequential
+per-cloud loops then a sequential O(N^2) pair loop; here the feature stage is
+one vmapped program over the stacked cloud batch and ALL pairs register in a
+single batched program (vmap over the pair axis — shard_map over a device
+mesh drops in on the same axis, see parallel/pair_shard.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapmerge_tpu.core.cloud import PointCloud, stack_clouds
+from mapmerge_tpu.core.params import MergeParams
+from mapmerge_tpu.graph.merge_graph import (
+    TransformEstimate,
+    compute_global_transforms,
+)
+from mapmerge_tpu.ops.downsample import voxel_downsample
+from mapmerge_tpu.core import transforms as tf
+from mapmerge_tpu.pipeline.features import CloudFeatures, extract_features
+from mapmerge_tpu.pipeline.registration import estimate_transform
+
+
+@partial(jax.jit, static_argnames=("params",))
+def extract_features_batch(batch: PointCloud, params: MergeParams):
+    """Vmapped per-cloud feature stage over a stacked (B, N, ...) batch."""
+    return jax.vmap(lambda c: extract_features(c, params))(batch)
+
+
+def _gather_pair(features: CloudFeatures, idx: jax.Array) -> CloudFeatures:
+    return jax.tree_util.tree_map(lambda a: a[idx], features)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def estimate_pairs_batch(
+    features: CloudFeatures,
+    src_idx: jax.Array,
+    tgt_idx: jax.Array,
+    params: MergeParams,
+    keys: jax.Array,
+):
+    """Register all (src, tgt) pairs in one vmapped program."""
+
+    def one(si, ti, key):
+        return estimate_transform(
+            _gather_pair(features, si), _gather_pair(features, ti), params, key
+        )
+
+    return jax.vmap(one)(src_idx, tgt_idx, keys)
+
+
+def estimate_maps_transforms(
+    clouds: Sequence[PointCloud],
+    params: MergeParams | None = None,
+    seed: int = 0,
+) -> list[np.ndarray]:
+    """Estimate per-map SE(3) transforms into a common reference frame.
+
+    Reference: estimateMapsTransforms (map_merging.cpp:188-275).
+    Returns numpy (4, 4) float32 matrices; zero matrix = "could not
+    register" (map_merging.h:81-84).
+    """
+    params = params or MergeParams()
+    clouds = list(clouds)
+    if not clouds:
+        return []
+    if len(clouds) == 1:
+        return [np.eye(4, dtype=np.float32)]
+
+    batch = stack_clouds(clouds)
+    features = extract_features_batch(batch, params)
+
+    # pair generation: i < j with both keypoint sets non-empty
+    # (map_merging.cpp:246-254); one D2H of the keypoint counts
+    kp_counts = np.asarray(jnp.sum(features.keypoints.mask, axis=-1))
+    pairs = [
+        (i, j)
+        for i in range(len(clouds) - 1)
+        for j in range(i + 1, len(clouds))
+        if kp_counts[i] > 0 and kp_counts[j] > 0
+    ]
+    if not pairs:
+        # no registerable pairs: zero nodes in the estimate graph
+        # (reference would index an empty centers vector here; we return
+        # the empty list its nodes_count=0 path implies)
+        return []
+
+    src_idx = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    tgt_idx = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        jax.random.key(seed), jnp.arange(len(pairs))
+    )
+    est = estimate_pairs_batch(features, src_idx, tgt_idx, params, keys)
+
+    transforms = np.asarray(est.transform)
+    confidences = np.asarray(est.confidence)
+    estimates = [
+        TransformEstimate(
+            source_idx=i,
+            target_idx=j,
+            transform=transforms[k],
+            confidence=float(confidences[k]),
+        )
+        for k, (i, j) in enumerate(pairs)
+    ]
+    return compute_global_transforms(estimates, params.confidence_threshold)
+
+
+def compose_maps(
+    clouds: Sequence[PointCloud],
+    transforms: Sequence[np.ndarray],
+    resolution: float,
+    out_capacity: int | None = None,
+) -> PointCloud | None:
+    """Transform-and-concatenate the full-resolution clouds, then voxelize
+    at `resolution` (reference composeMaps, map_merging.cpp:277-305)."""
+    clouds = list(clouds)
+    if not clouds:
+        return None
+    if len(clouds) != len(transforms):
+        raise ValueError(
+            "composeMaps: clouds and transforms size must be the same."
+        )
+
+    parts_xyz, parts_rgb, parts_mask = [], [], []
+    for cloud, transform in zip(clouds, transforms):
+        t = np.asarray(transform, np.float32)
+        if not t.any():  # zero transform -> skip (map_merging.cpp:293-295)
+            continue
+        moved = tf.apply(jnp.asarray(t), cloud.xyz)
+        parts_xyz.append(moved)
+        parts_rgb.append(cloud.rgb)
+        parts_mask.append(cloud.mask)
+    if not parts_xyz:
+        # all transforms zero: reference returns an empty (non-null) cloud
+        return PointCloud.from_arrays(np.zeros((0, 3), np.float32), capacity=1)
+
+    merged = PointCloud(
+        xyz=jnp.concatenate(parts_xyz, axis=0),
+        rgb=jnp.concatenate(parts_rgb, axis=0),
+        mask=jnp.concatenate(parts_mask, axis=0),
+    ).park_invalid()
+    return voxel_downsample(merged, resolution, out_capacity=out_capacity)

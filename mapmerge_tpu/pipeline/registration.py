@@ -1,0 +1,109 @@
+"""Pairwise transform estimation.
+
+Equivalent of the reference's estimateTransform (src/matching.cpp:223-257):
+method selection (MATCHING = reciprocal k-NN + RANSAC + SVD; SAC_IA =
+sample-consensus initial alignment), optional ICP refinement, plus the
+transformScore confidence. Operates on CloudFeatures pairs; fully jittable
+and vmappable over a batch of pairs (the reference's sequential O(N^2) pair
+loop, map_merging.cpp:256-269, becomes one batched call).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from mapmerge_tpu.core import transforms as tf
+from mapmerge_tpu.core.enums import EstimationMethod
+from mapmerge_tpu.core.params import MergeParams
+from mapmerge_tpu.ops.matching import find_correspondences
+from mapmerge_tpu.ops.ransac import ransac_transform
+from mapmerge_tpu.ops.score import confidence as confidence_fn
+from mapmerge_tpu.ops.score import transform_score
+from mapmerge_tpu.pipeline.features import CloudFeatures
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PairEstimate:
+    transform: jax.Array  # (4, 4) zeros on failure (map_merging.h:81-84)
+    ok: jax.Array  # () bool
+    confidence: jax.Array  # () float32 = 1/transformScore
+    inlier_count: jax.Array  # () int32
+
+
+def estimate_transform(
+    source: CloudFeatures,
+    target: CloudFeatures,
+    params: MergeParams,
+    key: jax.Array,
+) -> PairEstimate:
+    """Reference matching.cpp:223-257 with per-pair RNG key."""
+    if params.estimation_method == EstimationMethod.MATCHING:
+        corr = find_correspondences(
+            source.descriptors.data,
+            target.descriptors.data,
+            k=params.matching_k,
+            source_valid=source.descriptors.valid & source.keypoints.mask,
+            target_valid=target.descriptors.valid & target.keypoints.mask,
+        )
+        res = ransac_transform(
+            source.keypoints.xyz,
+            target.keypoints.xyz,
+            corr,
+            inlier_threshold=params.inlier_threshold,
+            num_hypotheses=params.ransac_hypotheses,
+            key=key,
+        )
+        transform, ok, inliers = res.transform, res.ok, res.inlier_count
+    elif params.estimation_method == EstimationMethod.SAC_IA:
+        from mapmerge_tpu.ops.sacia import sacia_transform
+
+        transform, ok, inliers = sacia_transform(
+            source.keypoints,
+            source.descriptors,
+            target.keypoints,
+            target.descriptors,
+            min_sample_distance=params.inlier_threshold,
+            max_correspondence_distance=params.max_correspondence_distance,
+            num_iterations=params.max_iterations,
+            key=key,
+        )
+    else:
+        raise ValueError(f"unknown estimation method: {params.estimation_method}")
+
+    if params.refine_transform:
+        from mapmerge_tpu.ops.icp import icp_refine
+
+        refined, icp_ok = icp_refine(
+            source.cloud,
+            target.cloud,
+            initial=transform,
+            max_correspondence_distance=params.max_correspondence_distance,
+            outlier_rejection_threshold=params.inlier_threshold,
+            max_iterations=params.max_iterations,
+            transform_epsilon=params.transform_epsilon,
+            tile=params.neighbor_tile,
+        )
+        # the reference refines whatever the first stage produced, even a
+        # failed (zero) transform (matching.cpp:250-253); ICP from a zero
+        # guess cannot converge, so failure stays failure in practice —
+        # we keep the explicit flag AND the zero-matrix convention
+        transform = jnp.where(ok & icp_ok, refined, transform)
+
+    transform = jnp.where(ok, transform, tf.zero())
+    score = transform_score(
+        source.cloud,
+        target.cloud,
+        transform,
+        params.max_correspondence_distance,
+        tile=params.neighbor_tile,
+    )
+    return PairEstimate(
+        transform=transform,
+        ok=ok,
+        confidence=confidence_fn(score),
+        inlier_count=inliers,
+    )

@@ -1,0 +1,128 @@
+"""End-to-end pipeline: features, pairwise registration, N-map merging.
+
+Golden-transform tests on synthetic scenes (what the reference lacks,
+SURVEY.md §4) plus the reference's degenerate-input contracts
+(test/test_map_merging.cpp:9-47).
+"""
+
+import numpy as np
+import pytest
+
+from mapmerge_tpu.core import transforms as tf
+from mapmerge_tpu.core.cloud import PointCloud
+from mapmerge_tpu.core.enums import Descriptor, Keypoint
+from mapmerge_tpu.core.params import MergeParams
+from mapmerge_tpu.pipeline.features import extract_features
+from mapmerge_tpu.pipeline.merging import compose_maps, estimate_maps_transforms
+
+from synthetic import make_scene, overlapping_views, rotation_z, se3
+
+
+def small_params(**over):
+    defaults = dict(
+        resolution=0.1,
+        keypoint_type=Keypoint.HARRIS,
+        keypoint_threshold=5.0,
+        descriptor_type=Descriptor.FPFH,
+        refine_transform=False,
+        max_points=16384,
+        max_keypoints=256,
+        max_neighbors=48,
+        ransac_hypotheses=512,
+        neighbor_tile=512,
+    )
+    defaults.update(over)
+    return MergeParams(**defaults)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(7)
+    xyz, rgb = make_scene(rng, n_boxes=6, extent=8.0, density=60.0)
+    return xyz, rgb
+
+
+class TestFeatures:
+    def test_feature_stage_products(self, scene):
+        xyz, rgb = scene
+        pc = PointCloud.from_arrays(xyz, rgb)
+        params = small_params()
+        feats = extract_features(pc, params)
+        n_resized = int(feats.cloud.count)
+        assert 0 < n_resized <= int(pc.count)
+        n_kp = int(feats.keypoints.count)
+        assert 10 < n_kp <= params.max_keypoints
+        assert int(feats.descriptors.count) == n_kp
+        data = np.asarray(feats.descriptors.data)
+        valid = np.asarray(feats.descriptors.valid)
+        # FPFH blocks each sum to ~100
+        blocks = data[valid].reshape(-1, 3, 11).sum(-1)
+        np.testing.assert_allclose(blocks, 100.0, atol=0.5)
+
+
+class TestTwoMapMerge:
+    def test_golden_transform_recovery(self, scene):
+        xyz, rgb = scene
+        rng = np.random.default_rng(3)
+        truth = se3(rotation_z(0.4), [1.5, -0.7, 0.2])
+        view_a, view_b = overlapping_views(rng, xyz, rgb, truth, overlap=0.6)
+        params = small_params()
+        transforms = estimate_maps_transforms([view_a, view_b], params, seed=0)
+        assert len(transforms) == 2
+        # one of the maps is the reference (identity)
+        t0, t1 = transforms
+        # relative transform estimated: map B -> map A frame should equal truth
+        rel = np.linalg.inv(t0) @ t1
+        rot_err = float(tf.rotation_geodesic_deg(rel.astype(np.float32), truth))
+        trans_err = float(np.linalg.norm(rel[:3, 3] - truth[:3, 3]))
+        assert rot_err < 2.0, f"rotation error {rot_err} deg"
+        assert trans_err < 0.15, f"translation error {trans_err} m"
+
+    def test_compose_maps_output(self, scene):
+        xyz, rgb = scene
+        rng = np.random.default_rng(3)
+        truth = se3(rotation_z(0.4), [1.5, -0.7, 0.2])
+        view_a, view_b = overlapping_views(rng, xyz, rgb, truth, overlap=0.6)
+        params = small_params()
+        transforms = estimate_maps_transforms([view_a, view_b], params, seed=0)
+        merged = compose_maps([view_a, view_b], transforms, params.output_resolution)
+        assert merged is not None
+        mx, _ = merged.to_arrays()
+        assert len(mx) > 1000
+        # merged extent must cover the full scene (both halves present)
+        assert mx[:, 0].max() > xyz[:, 0].max() - 1.0
+        assert mx[:, 0].min() < xyz[:, 0].min() + 1.0
+
+
+class TestDegenerateContracts:
+    """Reference test/test_map_merging.cpp:9-47 parity."""
+
+    def test_empty_estimate(self):
+        assert estimate_maps_transforms([], small_params()) == []
+
+    def test_single_cloud_identity(self, rng):
+        pc = PointCloud.from_arrays(rng.random((10, 3)).astype(np.float32))
+        out = estimate_maps_transforms([pc], small_params())
+        assert len(out) == 1
+        np.testing.assert_array_equal(out[0], np.eye(4))
+
+    def test_compose_empty_none(self):
+        assert compose_maps([], [], 0.05) is None
+
+    def test_compose_size_mismatch_raises(self, rng):
+        pc = PointCloud.from_arrays(rng.random((5, 3)).astype(np.float32))
+        with pytest.raises(ValueError):
+            compose_maps([pc, pc], [np.eye(4)], 0.05)
+
+    def test_compose_single_empty_cloud(self):
+        pc = PointCloud.from_arrays(np.zeros((0, 3)), capacity=4)
+        out = compose_maps([pc], [np.eye(4, dtype=np.float32)], 0.05)
+        assert out is not None
+        assert int(out.count) == 0
+
+    def test_clouds_without_keypoints(self, rng):
+        # two tiny degenerate clouds: no keypoints -> no pairs -> []
+        a = PointCloud.from_arrays(rng.random((5, 3)).astype(np.float32))
+        b = PointCloud.from_arrays(rng.random((5, 3)).astype(np.float32))
+        out = estimate_maps_transforms([a, b], small_params())
+        assert out == []
