@@ -67,6 +67,10 @@ class MergeParams:
     #: batched RANSAC hypothesis count (replaces PCL's sequential iterations,
     #: reference matching.cpp:119-124 via SampleConsensusModelRegistration)
     ransac_hypotheses: int = 1024
+    #: batched SAC-IA hypothesis count — the batched analog of the
+    #: reference's sequential max_iterations for SAC_IA (matching.cpp:159-173);
+    #: hypotheses are nearly free on the MXU, so the default is generous
+    sacia_hypotheses: int = 4096
     #: query tile size for the dense tiled neighbor engine
     neighbor_tile: int = 1024
     #: SIFT scale-space shape (reference features.cpp:92: 3 octaves x 3 scales)

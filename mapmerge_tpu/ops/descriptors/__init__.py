@@ -60,7 +60,17 @@ def descriptor_kind_from_dim(dim: int) -> Descriptor:
     raise ValueError(f"no descriptor type with dimensionality {dim}")
 
 
+from mapmerge_tpu.ops.descriptors.pfh import compute_pfh, compute_pfhrgb  # noqa: E402
+from mapmerge_tpu.ops.descriptors.rsd import compute_rsd  # noqa: E402
+from mapmerge_tpu.ops.descriptors.sc3d import compute_sc3d  # noqa: E402
+from mapmerge_tpu.ops.descriptors.shot import compute_shot  # noqa: E402
+
 _REGISTRY[Descriptor.FPFH] = compute_fpfh
+_REGISTRY[Descriptor.PFH] = compute_pfh
+_REGISTRY[Descriptor.PFHRGB] = compute_pfhrgb
+_REGISTRY[Descriptor.RSD] = compute_rsd
+_REGISTRY[Descriptor.SHOT] = compute_shot
+_REGISTRY[Descriptor.SC3D] = compute_sc3d
 
 __all__ = [
     "Descriptors",

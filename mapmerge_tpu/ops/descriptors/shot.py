@@ -1,0 +1,179 @@
+"""SHOT color descriptor (SHOT1344).
+
+TPU-native equivalent of pcl::SHOTColorEstimation (reference
+dispatch_descriptors.h:44-46 — the color variant, SHOT1344, is chosen
+deliberately over shape-only SHOT352):
+
+  - Local reference frame per keypoint: (R - d)-weighted covariance of
+    neighbor offsets, analytic EVD, sign disambiguation by majority vote
+    (pcl SHOTLocalReferenceFrameEstimation).
+  - Shape part: 32 spatial volumes (8 azimuth x 2 elevation x 2 radial
+    shells) x 11 bins over cos(angle(n_j, z_lrf)) = 352 values.
+  - Color part: 32 volumes x 31 bins over the mean L1 CIELab distance
+    between neighbor and keypoint color = 992 values.
+  - L2-normalized (PCL normalizes the full descriptor).
+
+Deviation from PCL (documented): no quadrilinear soft-binning — hard bins
+only. This costs some boundary smoothness, not discriminative structure;
+pose parity is validated at the pipeline level, not per-bin.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mapmerge_tpu.core.cloud import PointCloud
+from mapmerge_tpu.ops.descriptors.base import Descriptors
+from mapmerge_tpu.ops.eigh3 import eigvalsh3
+from mapmerge_tpu.ops.keypoints.harris import Keypoints
+from mapmerge_tpu.ops.neighbors import radius_neighbors
+from mapmerge_tpu.ops.normals import SurfaceNormals
+from mapmerge_tpu.ops.rigid import _eigvecs_from_vals
+
+_AZIMUTH = 8
+_ELEVATION = 2
+_RADIAL = 2
+_SHAPE_BINS = 11
+_COLOR_BINS = 31
+_VOLUMES = _AZIMUTH * _ELEVATION * _RADIAL  # 32
+SHOT_DIM = _VOLUMES * _SHAPE_BINS + _VOLUMES * _COLOR_BINS  # 1344
+
+
+def _local_reference_frames(
+    kp_xyz: jax.Array,  # (K, 3)
+    nbr_xyz: jax.Array,  # (K, M, 3)
+    nbr_ok: jax.Array,  # (K, M)
+    radius: float,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (x_axis, y_axis, z_axis (K,3) each, ok (K,))."""
+    off = nbr_xyz - kp_xyz[:, None, :]  # (K, M, 3)
+    d = jnp.sqrt(jnp.maximum(jnp.sum(off * off, axis=-1), 1e-12))
+    w = jnp.where(nbr_ok, jnp.maximum(radius - d, 0.0), 0.0)  # (K, M)
+    wsum = jnp.sum(w, axis=-1)
+    cov = jnp.einsum(
+        "kmi,kmj->kij", off * w[..., None], off,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / jnp.maximum(wsum, 1e-9)[:, None, None]
+
+    lam = eigvalsh3(cov)
+    v = _eigvecs_from_vals(cov, lam)  # columns ascending
+    x_axis = v[..., 2]  # largest
+    z_axis = v[..., 0]  # smallest
+
+    # sign disambiguation: majority of weighted neighbors on positive side
+    def fix_sign(axis):
+        s = jnp.sum(jnp.sign(jnp.einsum("kmi,ki->km", off, axis)) * w, axis=-1)
+        return axis * jnp.where(s >= 0, 1.0, -1.0)[:, None]
+
+    x_axis = fix_sign(x_axis)
+    z_axis = fix_sign(z_axis)
+    # re-orthogonalize x against z then y = z cross x
+    x_axis = x_axis - jnp.sum(x_axis * z_axis, axis=-1, keepdims=True) * z_axis
+    xn = jnp.sqrt(jnp.maximum(jnp.sum(x_axis * x_axis, axis=-1), 1e-12))
+    x_axis = x_axis / xn[:, None]
+    y_axis = jnp.cross(z_axis, x_axis)
+    ok = (wsum > 0) & (lam[..., 2] > 1e-12)
+    return x_axis, y_axis, z_axis, ok
+
+
+def _rgb_to_lab(rgb: jax.Array) -> jax.Array:
+    """sRGB [0,1] -> CIELab (D65), vectorized."""
+    c = jnp.where(
+        rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92
+    )
+    m = jnp.asarray(
+        [
+            [0.412453, 0.357580, 0.180423],
+            [0.212671, 0.715160, 0.072169],
+            [0.019334, 0.119193, 0.950227],
+        ],
+        jnp.float32,
+    )
+    xyz = jnp.einsum("...i,ji->...j", c, m)
+    white = jnp.asarray([0.950456, 1.0, 1.088754], jnp.float32)
+    t = xyz / white
+
+    f = jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+    l = jnp.where(
+        t[..., 1] > 0.008856,
+        116.0 * jnp.cbrt(t[..., 1]) - 16.0,
+        903.3 * t[..., 1],
+    )
+    a = 500.0 * (f[..., 0] - f[..., 1])
+    b = 200.0 * (f[..., 1] - f[..., 2])
+    return jnp.stack([l, a, b], axis=-1)
+
+
+def compute_shot(
+    cloud: PointCloud,
+    normals: SurfaceNormals,
+    keypoints: Keypoints,
+    radius: float,
+    max_neighbors: int = 64,
+    tile: int = 1024,
+) -> Descriptors:
+    p_ok = cloud.mask & normals.valid
+    idx, d2, nmask = radius_neighbors(
+        keypoints.xyz, cloud.xyz, radius, max_neighbors,
+        p_mask=p_ok, tile=tile,
+    )
+    nmask = nmask & keypoints.mask[:, None]
+    nbr_xyz = cloud.xyz[idx]
+    nbr_nrm = normals.normals[idx]
+    nbr_rgb = cloud.rgb[idx]
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    x_ax, y_ax, z_ax, lrf_ok = _local_reference_frames(
+        keypoints.xyz, nbr_xyz, nmask, radius
+    )
+
+    off = nbr_xyz - keypoints.xyz[:, None, :]
+    lx = jnp.einsum("kmi,ki->km", off, x_ax)
+    ly = jnp.einsum("kmi,ki->km", off, y_ax)
+    lz = jnp.einsum("kmi,ki->km", off, z_ax)
+
+    azimuth = jnp.arctan2(ly, lx)  # [-pi, pi]
+    a_bin = jnp.clip(
+        jnp.floor((azimuth + jnp.pi) / (2 * jnp.pi) * _AZIMUTH), 0, _AZIMUTH - 1
+    )
+    e_bin = (lz >= 0).astype(jnp.float32)
+    r_bin = (dist >= radius / 2.0).astype(jnp.float32)
+    vol = (a_bin * _ELEVATION * _RADIAL + e_bin * _RADIAL + r_bin).astype(
+        jnp.int32
+    )  # (K, M) in [0, 32)
+
+    # shape channel: cos(n_j, z_lrf) into 11 bins
+    cos_t = jnp.clip(jnp.einsum("kmi,ki->km", nbr_nrm, z_ax), -1.0, 1.0)
+    s_bin = jnp.clip(
+        jnp.floor((cos_t + 1.0) / 2.0 * _SHAPE_BINS), 0, _SHAPE_BINS - 1
+    ).astype(jnp.int32)
+
+    # color channel: mean L1 CIELab distance to the keypoint color
+    kp_rgb = nbr_rgb[:, 0, :]  # nearest surface point's color
+    lab_n = _rgb_to_lab(nbr_rgb)
+    lab_k = _rgb_to_lab(kp_rgb)[:, None, :]
+    # normalize each Lab channel span so d lands in [0, 1]
+    span = jnp.asarray([100.0, 256.0, 256.0], jnp.float32)
+    dcol = jnp.sum(jnp.abs(lab_n - lab_k) / span, axis=-1) / 3.0
+    c_bin = jnp.clip(
+        jnp.floor(dcol * _COLOR_BINS / 0.5), 0, _COLOR_BINS - 1
+    ).astype(jnp.int32)  # span 0..0.5 covers typical distances
+
+    w = (nmask & lrf_ok[:, None]).astype(jnp.float32)
+
+    shape_joint = vol * _SHAPE_BINS + s_bin
+    k = shape_joint.shape[0]
+    oh_s = jax.nn.one_hot(shape_joint, _VOLUMES * _SHAPE_BINS, dtype=jnp.float32)
+    hist_s = jnp.einsum("km,kmb->kb", w, oh_s)
+
+    color_joint = vol * _COLOR_BINS + c_bin
+    oh_c = jax.nn.one_hot(color_joint, _VOLUMES * _COLOR_BINS, dtype=jnp.float32)
+    hist_c = jnp.einsum("km,kmb->kb", w, oh_c)
+
+    data = jnp.concatenate([hist_s, hist_c], axis=-1)  # (K, 1344)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(data * data, axis=-1), 1e-12))
+    data = data / norm[:, None]
+
+    valid = keypoints.mask & lrf_ok & (jnp.sum(nmask, axis=-1) >= 5)
+    return Descriptors(data=jnp.where(valid[:, None], data, 0.0), valid=valid)

@@ -1,0 +1,91 @@
+"""Iterative Closest Point refinement.
+
+TPU-native equivalent of pcl::IterativeClosestPoint as configured by the
+reference (src/matching.cpp:196-221): point-to-point ICP seeded by an
+initial guess, correspondences bounded by max_correspondence_distance,
+transformation-epsilon convergence, max-iterations cap; the result composes
+with the guess (the reference pre-transforms the source and returns
+icp_result * initial_guess — here the accumulated transform starts at the
+guess, which is algebraically identical).
+
+Correspondence search is the exact tiled dense 1-NN (ops/neighbors) — no
+kd-tree; each iteration is two MXU passes (NN + weighted Kabsch). The whole
+loop is a lax.while_loop, so vmapping over a batch of pairs runs all pairs
+until each converges (SURVEY.md §2c: batched ICP over all map pairs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mapmerge_tpu.core import transforms as tf
+from mapmerge_tpu.core.cloud import PointCloud
+from mapmerge_tpu.ops.neighbors import nearest_neighbor
+from mapmerge_tpu.ops.rigid import kabsch
+
+
+def icp_refine(
+    source: PointCloud,
+    target: PointCloud,
+    initial: jax.Array,
+    max_correspondence_distance: float,
+    outlier_rejection_threshold: float,  # reserved: PCL sets it, classic ICP path ignores it
+    max_iterations: int,
+    transform_epsilon: float,
+    tile: int = 1024,
+    anneal: float = 0.85,
+    min_correspondence_distance: float | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Refine `initial` (source->target). Returns (transform, converged).
+
+    Coarse-to-fine: the correspondence bound starts at
+    `max_correspondence_distance` and shrinks by `anneal` each iteration
+    down to `min_correspondence_distance` (default bound/8). A wide first
+    bound captures the basin; the tightening schedule sheds the
+    wrong-surface attractions that bias plain bounded ICP on partially
+    overlapping maps (SURVEY.md §7: coarse-to-fine ladder). Set anneal=1.0
+    for strict PCL fixed-bound semantics.
+
+    `converged` is False when no iteration ever found >= 3 bounded
+    correspondences (e.g. a zero/failed initial guess) — callers keep the
+    unrefined transform then (pipeline/registration.py).
+    """
+    eps = jnp.float32(transform_epsilon)
+    d_hi = jnp.float32(max_correspondence_distance)
+    d_lo = jnp.float32(
+        min_correspondence_distance
+        if min_correspondence_distance is not None
+        else max_correspondence_distance / 8.0
+    )
+
+    def step(state):
+        t, _, it, _, ever_ok = state
+        dist = jnp.maximum(d_hi * jnp.float32(anneal) ** it, d_lo)
+        moved = tf.apply(t, source.xyz)
+        idx, d2 = nearest_neighbor(
+            moved, target.xyz, p_mask=target.mask, tile=tile
+        )
+        w = (source.mask & (d2 <= dist * dist)).astype(jnp.float32)
+        delta, ok = kabsch(moved, target.xyz[idx], w)
+        t_new = jnp.where(ok, tf.compose(delta, t), t)
+        # PCL-style convergence: elementwise change of the transform,
+        # only once the schedule has reached its floor
+        change = jnp.sum(jnp.abs(t_new - t))
+        at_floor = d_hi * jnp.float32(anneal) ** it <= d_lo
+        done = jnp.where(ok, (change < eps) & at_floor, True)
+        return t_new, done, it + 1, ok, ever_ok | ok
+
+    def cond(state):
+        _, done, it, _, _ = state
+        return jnp.logical_not(done) & (it < max_iterations)
+
+    init = (
+        initial.astype(jnp.float32),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(False),
+    )
+    t, _, _, _, ever_ok = jax.lax.while_loop(cond, step, init)
+    return t, ever_ok

@@ -116,12 +116,22 @@ def kabsch(
     t = mu_d - jnp.einsum("...ij,...j->...i", r, mu_s)
     transform = tf.from_rotation_translation(r, t)
 
-    # degeneracy: need >= 3 effective pairs and non-collinear support
-    # (sigma_2 = sqrt(lam_1) must be meaningfully nonzero)
+    # degeneracy: need >= 3 effective pairs, non-collinear support
+    # (sigma_2 = sqrt(lam_1) meaningfully nonzero), and a certified proper
+    # rotation — near-degenerate eigenvector extraction can emit a
+    # non-orthogonal R that collapses points and cheats downstream scoring
     eff = jnp.sum((w > 0).astype(jnp.int32), axis=-1) >= 3
     scale2 = jnp.maximum(lam[..., 2], _EPS)
-    nondegenerate = lam[..., 1] / scale2 > 1.0e-9
-    ok = eff & nondegenerate & (wsum[..., 0] > 0)
+    nondegenerate = lam[..., 1] / scale2 > 1.0e-6
+    rtr = jnp.einsum(
+        "...ji,...jk->...ik", r, r, precision=jax.lax.Precision.HIGHEST
+    )
+    ortho_err = jnp.max(
+        jnp.abs(rtr - jnp.eye(3, dtype=r.dtype)), axis=(-2, -1)
+    )
+    det_r = jnp.linalg.det(r)
+    proper = (ortho_err < 1.0e-2) & (jnp.abs(det_r - 1.0) < 1.0e-2)
+    ok = eff & nondegenerate & (wsum[..., 0] > 0) & proper
     transform = jnp.where(
         ok[..., None, None], transform, jnp.eye(4, dtype=jnp.float32)
     )

@@ -68,7 +68,7 @@ def estimate_transform(
             target.descriptors,
             min_sample_distance=params.inlier_threshold,
             max_correspondence_distance=params.max_correspondence_distance,
-            num_iterations=params.max_iterations,
+            num_iterations=params.sacia_hypotheses,
             key=key,
         )
     else:
@@ -86,6 +86,8 @@ def estimate_transform(
             max_iterations=params.max_iterations,
             transform_epsilon=params.transform_epsilon,
             tile=params.neighbor_tile,
+            # coarse-to-fine floor: two registration voxels
+            min_correspondence_distance=2.0 * params.resolution,
         )
         # the reference refines whatever the first stage produced, even a
         # failed (zero) transform (matching.cpp:250-253); ICP from a zero

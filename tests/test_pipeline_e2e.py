@@ -78,6 +78,21 @@ class TestTwoMapMerge:
         assert rot_err < 2.0, f"rotation error {rot_err} deg"
         assert trans_err < 0.15, f"translation error {trans_err} m"
 
+    def test_refined_merge_with_noise(self, scene):
+        """Default MATCHING + ICP refine path (matching.cpp:250-253)."""
+        xyz, rgb = scene
+        rng = np.random.default_rng(5)
+        noisy = xyz + rng.normal(size=xyz.shape).astype(np.float32) * 0.01
+        truth = se3(rotation_z(-0.3), [-1.0, 0.8, 0.1])
+        view_a, view_b = overlapping_views(rng, noisy, rgb, truth, overlap=0.6)
+        params = small_params(refine_transform=True, max_iterations=30)
+        transforms = estimate_maps_transforms([view_a, view_b], params, seed=0)
+        rel = np.linalg.inv(transforms[0]) @ transforms[1]
+        rot_err = float(tf.rotation_geodesic_deg(rel.astype(np.float32), truth))
+        trans_err = float(np.linalg.norm(rel[:3, 3] - truth[:3, 3]))
+        assert rot_err < 1.0, f"rotation error {rot_err} deg"
+        assert trans_err < 0.08, f"translation error {trans_err} m"
+
     def test_compose_maps_output(self, scene):
         xyz, rgb = scene
         rng = np.random.default_rng(3)
@@ -126,3 +141,25 @@ class TestDegenerateContracts:
         b = PointCloud.from_arrays(rng.random((5, 3)).astype(np.float32))
         out = estimate_maps_transforms([a, b], small_params())
         assert out == []
+
+
+class TestSiftPipeline:
+    def test_sift_merge(self, scene):
+        """Default keypoint type (SIFT on color intensity, features.cpp:92)."""
+        xyz, rgb = scene
+        rng = np.random.default_rng(9)
+        truth = se3(rotation_z(0.25), [0.8, 0.5, -0.1])
+        view_a, view_b = overlapping_views(rng, xyz, rgb, truth, overlap=0.65)
+        params = small_params(
+            keypoint_type=Keypoint.SIFT,
+            keypoint_threshold=3.0,
+            refine_transform=True,
+            max_iterations=30,
+        )
+        transforms = estimate_maps_transforms([view_a, view_b], params, seed=0)
+        assert len(transforms) == 2
+        rel = np.linalg.inv(transforms[0]) @ transforms[1]
+        rot_err = float(tf.rotation_geodesic_deg(rel.astype(np.float32), truth))
+        trans_err = float(np.linalg.norm(rel[:3, 3] - truth[:3, 3]))
+        assert rot_err < 1.0, f"rotation error {rot_err} deg"
+        assert trans_err < 0.1, f"translation error {trans_err} m"

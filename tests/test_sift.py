@@ -1,0 +1,69 @@
+"""SIFT-3D keypoint tests (reference features.cpp:45-62)."""
+
+import numpy as np
+import pytest
+
+from mapmerge_tpu.core.cloud import PointCloud
+from mapmerge_tpu.ops.keypoints.sift import detect_keypoints_sift, _intensity
+
+
+class TestIntensity:
+    def test_matches_pcl_accessor(self):
+        import jax.numpy as jnp
+
+        rgb = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [1.0, 1.0, 1.0]])
+        i = np.asarray(_intensity(rgb))
+        np.testing.assert_allclose(
+            i, [299 * 255 / 1000, 587 * 255 / 1000, 255.0], atol=1e-3
+        )
+
+
+def make_color_blob_plane(rng, n=4000, extent=4.0, blob_centers=None):
+    """Flat plane with bright color blobs — intensity extrema, no geometry."""
+    xy = (rng.random((n, 2)).astype(np.float32) - 0.5) * extent
+    xyz = np.concatenate([xy, np.zeros((n, 1), np.float32)], axis=1)
+    rgb = np.full((n, 3), 0.2, np.float32)
+    if blob_centers is None:
+        blob_centers = [(-1.0, -1.0), (1.2, 0.8), (0.0, 1.5)]
+    for cx, cy in blob_centers:
+        d = np.hypot(xy[:, 0] - cx, xy[:, 1] - cy)
+        rgb[d < 0.25] = [1.0, 1.0, 1.0]
+    return xyz, rgb, blob_centers
+
+
+class TestSift:
+    def test_finds_color_blobs(self, rng):
+        xyz, rgb, blobs = make_color_blob_plane(rng)
+        pc = PointCloud.from_arrays(xyz, rgb)
+        kps = detect_keypoints_sift(
+            pc, min_scale=0.1, octaves=3, scales_per_octave=3,
+            min_contrast=5.0, max_keypoints=64, tile=512,
+        )
+        n = int(kps.count)
+        assert n >= len(blobs), f"found only {n} keypoints"
+        kp = np.asarray(kps.xyz)[np.asarray(kps.mask)]
+        # every blob center must have a keypoint nearby
+        for cx, cy in blobs:
+            d = np.hypot(kp[:, 0] - cx, kp[:, 1] - cy)
+            assert d.min() < 0.35, f"no keypoint near blob ({cx},{cy})"
+
+    def test_uniform_color_no_keypoints(self, rng):
+        xyz = (rng.random((2000, 3)).astype(np.float32) - 0.5) * 4
+        rgb = np.full((2000, 3), 0.5, np.float32)
+        pc = PointCloud.from_arrays(xyz, rgb)
+        kps = detect_keypoints_sift(
+            pc, min_scale=0.1, octaves=2, scales_per_octave=2,
+            min_contrast=5.0, max_keypoints=64, tile=512,
+        )
+        assert int(kps.count) == 0
+
+    def test_respects_capacity(self, rng):
+        xyz, rgb, _ = make_color_blob_plane(
+            rng, blob_centers=[(x, y) for x in (-1.5, 0, 1.5) for y in (-1.5, 0, 1.5)]
+        )
+        pc = PointCloud.from_arrays(xyz, rgb)
+        kps = detect_keypoints_sift(
+            pc, min_scale=0.1, octaves=3, scales_per_octave=3,
+            min_contrast=1.0, max_keypoints=8, tile=512,
+        )
+        assert kps.xyz.shape[0] == 8
