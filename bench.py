@@ -1,0 +1,132 @@
+"""Driver benchmark: pairwise registrations/sec/chip.
+
+Eval config #1 from BASELINE.json: a 2-map ~50k-pt merge — full pipeline
+(voxel downsample, outlier removal, normals, SIFT keypoints, FPFH
+descriptors, reciprocal matching, batched RANSAC, annealed ICP, transform
+score) — timed warm, end-to-end (features + registration + graph solve).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": pairs/sec, "unit": ..., "vs_baseline": ...}
+
+vs_baseline: speedup over the same pipeline on this host's CPU (measured
+once via `python bench.py --cpu` and frozen below — the reference publishes
+no numbers, BASELINE.md, so the measured CPU wall-clock of an equivalent
+single-node pipeline is the stand-in until a PCL oracle lands).
+
+Robustness notes (see .claude/skills/verify/SKILL.md): the TPU behind axon
+is single-tenant and first compiles can be slow — the persistent compile
+cache is enabled and the timed section runs only after a full warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+#: warm end-to-end wall-clock of this exact config on the host CPU
+#: (python bench.py --cpu on the round-1 box)
+CPU_BASELINE_SECONDS = None  # filled after first --cpu measurement
+_CPU_BASELINE_FILE = "bench_cpu_baseline.json"
+
+
+def build_views():
+    sys.path.insert(0, "tests")
+    from synthetic import make_scene, overlapping_views, rotation_z, se3
+
+    rng = np.random.default_rng(7)
+    # ~100k-pt scene; each view keeps ~60% -> ~50k-pt maps
+    xyz, rgb = make_scene(rng, n_boxes=20, extent=16.0, density=220.0)
+    truth = se3(rotation_z(0.35), [1.2, -0.5, 0.15])
+    va, vb = overlapping_views(
+        np.random.default_rng(3), xyz, rgb, truth, overlap=0.6
+    )
+    return va, vb, truth
+
+
+def bench_params():
+    from mapmerge_tpu.core.params import MergeParams
+
+    return MergeParams(
+        keypoint_type="SIFT",
+        keypoint_threshold=3.0,
+        descriptor_type="FPFH",
+        refine_transform=True,
+        max_iterations=60,
+        max_points=32768,
+        max_keypoints=512,
+        max_neighbors=48,
+        ransac_hypotheses=1024,
+        neighbor_tile=1024,
+    )
+
+
+def main():
+    cpu = "--cpu" in sys.argv
+    import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    from mapmerge_tpu.core import transforms as tf
+    from mapmerge_tpu.pipeline.merging import estimate_maps_transforms
+
+    va, vb, truth = build_views()
+    params = bench_params()
+
+    # warm-up (compile)
+    transforms = estimate_maps_transforms([va, vb], params, seed=0)
+
+    # accuracy gate: a fast wrong answer is worthless
+    rel = np.linalg.inv(transforms[0]) @ transforms[1]
+    rot_err = float(
+        tf.rotation_geodesic_deg(
+            rel.astype(np.float32), truth.astype(np.float32)
+        )
+    )
+    trans_err = float(np.linalg.norm(rel[:3, 3] - truth[:3, 3]))
+    assert rot_err < 1.0 and trans_err < 0.1, (
+        f"accuracy gate failed: rot {rot_err} deg, trans {trans_err} m"
+    )
+
+    reps = 3
+    t0 = time.perf_counter()
+    for r in range(reps):
+        estimate_maps_transforms([va, vb], params, seed=0)
+    elapsed = (time.perf_counter() - t0) / reps
+
+    pairs_per_sec = 1.0 / elapsed
+
+    if cpu:
+        with open(_CPU_BASELINE_FILE, "w") as f:
+            json.dump({"cpu_seconds": elapsed}, f)
+
+    baseline = CPU_BASELINE_SECONDS
+    if baseline is None:
+        try:
+            with open(_CPU_BASELINE_FILE) as f:
+                baseline = json.load(f)["cpu_seconds"]
+        except OSError:
+            baseline = None
+    vs_baseline = (baseline / elapsed) if baseline else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "pairwise registrations/sec/chip "
+                    "(50k-pt pair, SIFT+FPFH+RANSAC+ICP end-to-end)"
+                ),
+                "value": round(pairs_per_sec, 4),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,11 @@ class MergeParams:
     sacia_hypotheses: int = 4096
     #: query tile size for the dense tiled neighbor engine
     neighbor_tile: int = 1024
+    #: weight merge-graph edges by coverage^2/score instead of the
+    #: reference's raw 1/score (map_merging.cpp:265-268) — prevents
+    #: low-overlap false alignments from outranking genuine edges in the
+    #: max spanning tree; set False for strict reference parity
+    robust_confidence: bool = True
     #: SIFT scale-space shape (reference features.cpp:92: 3 octaves x 3 scales)
     sift_octaves: int = 3
     sift_scales_per_octave: int = 3

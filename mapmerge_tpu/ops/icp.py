@@ -60,7 +60,7 @@ def icp_refine(
     )
 
     def step(state):
-        t, _, it, _, ever_ok = state
+        t, _, it, _, ever_ok, prev_mse = state
         dist = jnp.maximum(d_hi * jnp.float32(anneal) ** it, d_lo)
         moved = tf.apply(t, source.xyz)
         idx, d2 = nearest_neighbor(
@@ -69,15 +69,21 @@ def icp_refine(
         w = (source.mask & (d2 <= dist * dist)).astype(jnp.float32)
         delta, ok = kabsch(moved, target.xyz[idx], w)
         t_new = jnp.where(ok, tf.compose(delta, t), t)
-        # PCL-style convergence: elementwise change of the transform,
-        # only once the schedule has reached its floor
-        change = jnp.sum(jnp.abs(t_new - t))
+        # convergence needs BOTH gates (PCL DefaultConvergenceCriteria
+        # combines a transform-change epsilon with a relative-MSE check):
+        # the transform gate alone fires during slow-tail convergence and
+        # strands degrees of residual error
+        change = jnp.sqrt(jnp.sum((t_new - t) ** 2))
+        mse = jnp.sum(jnp.where(w > 0, d2, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+        rel_mse = jnp.abs(mse - prev_mse) / jnp.maximum(prev_mse, 1e-12)
         at_floor = d_hi * jnp.float32(anneal) ** it <= d_lo
-        done = jnp.where(ok, (change < eps) & at_floor, True)
-        return t_new, done, it + 1, ok, ever_ok | ok
+        done = jnp.where(
+            ok, (change < eps) & (rel_mse < 1e-4) & at_floor, True
+        )
+        return t_new, done, it + 1, ok, ever_ok | ok, mse
 
     def cond(state):
-        _, done, it, _, _ = state
+        _, done, it, _, _, _ = state
         return jnp.logical_not(done) & (it < max_iterations)
 
     init = (
@@ -86,6 +92,7 @@ def icp_refine(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         jnp.asarray(False),
+        jnp.asarray(1.0e30, jnp.float32),
     )
-    t, _, _, _, ever_ok = jax.lax.while_loop(cond, step, init)
+    t, _, _, _, ever_ok, _ = jax.lax.while_loop(cond, step, init)
     return t, ever_ok

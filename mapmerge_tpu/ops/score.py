@@ -26,15 +26,38 @@ def transform_score(
     transform: jax.Array,
     max_range: float,
     tile: int = 1024,
-) -> jax.Array:
-    """Mean-square bounded NN distance (lower is better)."""
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (score, coverage).
+
+    score: mean-square bounded NN distance, exactly the reference metric
+    (lower is better; MAX_SCORE when nothing is in range).
+    coverage: fraction of valid source points whose NN lands within
+    max_range — the quantity PCL's validator silently drops by *excluding*
+    out-of-range points. A grossly wrong transform can ace the score with
+    5%% of points grazing a floor plane; coverage exposes it.
+    """
     moved = tf.apply(transform, source.xyz)
     _, d2 = nearest_neighbor(moved, target.xyz, p_mask=target.mask, tile=tile)
     within = source.mask & (d2 <= jnp.float32(max_range * max_range))
     num = jnp.sum(jnp.where(within, d2, 0.0))
     cnt = jnp.sum(within)
-    return jnp.where(cnt > 0, num / jnp.maximum(cnt, 1), MAX_SCORE)
+    total = jnp.maximum(jnp.sum(source.mask), 1)
+    score = jnp.where(cnt > 0, num / jnp.maximum(cnt, 1), MAX_SCORE)
+    coverage = cnt / total
+    return score, coverage
 
 
-def confidence(score: jax.Array) -> jax.Array:
-    return 1.0 / jnp.maximum(score, 1.0 / MAX_SCORE)
+def confidence(
+    score: jax.Array, coverage: jax.Array | None = None
+) -> jax.Array:
+    """Edge confidence for the merge graph.
+
+    Reference semantics: 1 / score (map_merging.cpp:265-268). With
+    `coverage` given, the robust variant coverage^2 / score is returned —
+    false low-overlap alignments (high 1/score, tiny coverage) then rank
+    below genuine edges in the max-spanning-tree instead of poisoning it.
+    """
+    inv = 1.0 / jnp.maximum(score, 1.0 / MAX_SCORE)
+    if coverage is None:
+        return inv
+    return inv * coverage * coverage

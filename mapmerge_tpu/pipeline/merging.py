@@ -70,12 +70,18 @@ def estimate_maps_transforms(
     clouds: Sequence[PointCloud],
     params: MergeParams | None = None,
     seed: int = 0,
+    mesh=None,
 ) -> list[np.ndarray]:
     """Estimate per-map SE(3) transforms into a common reference frame.
 
     Reference: estimateMapsTransforms (map_merging.cpp:188-275).
     Returns numpy (4, 4) float32 matrices; zero matrix = "could not
     register" (map_merging.h:81-84).
+
+    With `mesh` (jax.sharding.Mesh), the cloud batch axis of the feature
+    stage and the pair axis of the registration stage are sharded over the
+    mesh devices (parallel/pair_shard.py); otherwise both stages run as one
+    vmapped program on the default device.
     """
     params = params or MergeParams()
     clouds = list(clouds)
@@ -83,6 +89,9 @@ def estimate_maps_transforms(
         return []
     if len(clouds) == 1:
         return [np.eye(4, dtype=np.float32)]
+
+    if mesh is not None:
+        return _estimate_maps_transforms_sharded(clouds, params, seed, mesh)
 
     batch = stack_clouds(clouds)
     features = extract_features_batch(batch, params)
@@ -111,6 +120,55 @@ def estimate_maps_transforms(
 
     transforms = np.asarray(est.transform)
     confidences = np.asarray(est.confidence)
+    estimates = [
+        TransformEstimate(
+            source_idx=i,
+            target_idx=j,
+            transform=transforms[k],
+            confidence=float(confidences[k]),
+        )
+        for k, (i, j) in enumerate(pairs)
+    ]
+    return compute_global_transforms(estimates, params.confidence_threshold)
+
+
+def _estimate_maps_transforms_sharded(
+    clouds: list[PointCloud], params: MergeParams, seed: int, mesh
+) -> list[np.ndarray]:
+    """Mesh-sharded variant: clouds padded to a device multiple for the
+    feature stage, pairs padded for the registration stage."""
+    from mapmerge_tpu.parallel.mesh import pad_to_multiple
+    from mapmerge_tpu.parallel.pair_shard import (
+        estimate_pairs_sharded,
+        extract_features_sharded,
+        pad_pairs,
+    )
+
+    n_dev = mesh.devices.size
+    n_real = len(clouds)
+    n_padded = pad_to_multiple(n_real, n_dev)
+    empty = PointCloud.from_arrays(np.zeros((0, 3), np.float32), capacity=1)
+    batch = stack_clouds(clouds + [empty] * (n_padded - n_real))
+    features = extract_features_sharded(batch, params, mesh)
+
+    kp_counts = np.asarray(jnp.sum(features.keypoints.mask, axis=-1))
+    pairs = [
+        (i, j)
+        for i in range(n_real - 1)
+        for j in range(i + 1, n_real)
+        if kp_counts[i] > 0 and kp_counts[j] > 0
+    ]
+    if not pairs:
+        return []
+
+    src_idx, tgt_idx, n_pairs = pad_pairs(pairs, n_dev)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        jax.random.key(seed), jnp.arange(src_idx.shape[0])
+    )
+    est = estimate_pairs_sharded(features, src_idx, tgt_idx, params, keys, mesh)
+
+    transforms = np.asarray(est.transform)[:n_pairs]
+    confidences = np.asarray(est.confidence)[:n_pairs]
     estimates = [
         TransformEstimate(
             source_idx=i,

@@ -86,8 +86,10 @@ def estimate_transform(
             max_iterations=params.max_iterations,
             transform_epsilon=params.transform_epsilon,
             tile=params.neighbor_tile,
-            # coarse-to-fine floor: two registration voxels
-            min_correspondence_distance=2.0 * params.resolution,
+            # coarse-to-fine floor: one registration voxel — a looser
+            # floor lets wrong-surface correspondences bias the optimum
+            # (2x resolution cost ~2.4deg on 50%-overlap strips)
+            min_correspondence_distance=params.resolution,
         )
         # the reference refines whatever the first stage produced, even a
         # failed (zero) transform (matching.cpp:250-253); ICP from a zero
@@ -96,16 +98,26 @@ def estimate_transform(
         transform = jnp.where(ok & icp_ok, refined, transform)
 
     transform = jnp.where(ok, transform, tf.zero())
-    score = transform_score(
+    score, coverage = transform_score(
         source.cloud,
         target.cloud,
         transform,
         params.max_correspondence_distance,
         tile=params.neighbor_tile,
     )
+    if params.robust_confidence:
+        # coverage^2/score exposes low-overlap false alignments; the
+        # keypoint inlier count exposes floor-onto-floor ones (high
+        # coverage, low score, but almost no keypoint agreement). The
+        # product is the OpenCV-stitching-style weight the reference's
+        # graph code was written for ("uses number of inliers as weights",
+        # map_merging.cpp:163-165) fused with its actual 1/score metric.
+        conf = confidence_fn(score, coverage) * jnp.maximum(inliers, 1)
+    else:
+        conf = confidence_fn(score)
     return PairEstimate(
         transform=transform,
         ok=ok,
-        confidence=confidence_fn(score),
+        confidence=conf,
         inlier_count=inliers,
     )

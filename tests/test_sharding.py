@@ -1,0 +1,106 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Validates that the sharded feature + pair stages produce the same global
+transforms as the single-device path, and that an N-map graph merge works
+with the pair axis distributed (SURVEY.md §2c TPU equivalents).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from mapmerge_tpu.core import transforms as tf
+from mapmerge_tpu.parallel.mesh import make_mesh
+from mapmerge_tpu.pipeline.merging import compose_maps, estimate_maps_transforms
+
+from synthetic import make_scene, overlapping_views, rotation_z, se3
+from test_pipeline_e2e import small_params
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+def strip_views(rng, xyz, rgb, n_views, overlap=0.5):
+    """Cut the scene into n overlapping strips along x, each in its own
+    frame with a known ground-truth pose (the multi-robot fixture pattern,
+    reference launch/from_pcds.launch)."""
+    from mapmerge_tpu.core.cloud import PointCloud
+
+    lo, hi = xyz[:, 0].min(), xyz[:, 0].max()
+    width = (hi - lo) / (1 + (n_views - 1) * (1 - overlap))
+    views, truths = [], []
+    cap = 0
+    raw = []
+    for v in range(n_views):
+        start = lo + v * width * (1 - overlap)
+        sel = (xyz[:, 0] >= start) & (xyz[:, 0] <= start + width)
+        truth = se3(rotation_z(0.1 * v), [0.3 * v, -0.2 * v, 0.05 * v])
+        tinv = np.linalg.inv(truth)
+        local = xyz[sel] @ tinv[:3, :3].T + tinv[:3, 3]
+        raw.append((local.astype(np.float32), rgb[sel]))
+        truths.append(truth)
+        cap = max(cap, sel.sum())
+    views = [
+        PointCloud.from_arrays(x, c, capacity=int(cap)) for x, c in raw
+    ]
+    return views, truths
+
+
+class TestShardedMerge:
+    def test_matches_single_device(self, mesh):
+        rng = np.random.default_rng(7)
+        xyz, rgb = make_scene(rng, n_boxes=6, extent=8.0, density=60.0)
+        truth = se3(rotation_z(0.4), [1.5, -0.7, 0.2])
+        va, vb = overlapping_views(
+            np.random.default_rng(3), xyz, rgb, truth, overlap=0.6
+        )
+        params = small_params()
+        single = estimate_maps_transforms([va, vb], params, seed=0)
+        sharded = estimate_maps_transforms([va, vb], params, seed=0, mesh=mesh)
+        assert len(single) == len(sharded) == 2
+        for a, b in zip(single, sharded):
+            rot = float(tf.rotation_geodesic_deg(a.astype(np.float32), b.astype(np.float32)))
+            assert rot < 0.2
+            assert np.linalg.norm(a[:3, 3] - b[:3, 3]) < 0.02
+
+    def test_five_map_graph_sharded(self, mesh):
+        rng = np.random.default_rng(21)
+        xyz, rgb = make_scene(rng, n_boxes=24, extent=16.0, density=50.0)
+        views, truths = strip_views(rng, xyz, rgb, n_views=5, overlap=0.5)
+        # SIFT (the reference default) finds 5-10x more keypoints than
+        # Harris on this scene; sparse strips need the density
+        params = small_params(
+            keypoint_type="SIFT",
+            keypoint_threshold=3.0,
+            refine_transform=True,
+            max_iterations=100,
+        )
+        transforms = estimate_maps_transforms(views, params, seed=0, mesh=mesh)
+        assert len(transforms) == 5
+        # global consistency: relative poses between consecutive strips must
+        # match ground truth (any map may be the reference frame)
+        ok_pairs = 0
+        for a in range(4):
+            b = a + 1
+            if not transforms[a].any() or not transforms[b].any():
+                continue
+            rel_est = np.linalg.inv(transforms[a]) @ transforms[b]
+            rel_true = np.linalg.inv(truths[a]) @ truths[b]
+            rot = float(
+                tf.rotation_geodesic_deg(
+                    rel_est.astype(np.float32), rel_true.astype(np.float32)
+                )
+            )
+            trans = np.linalg.norm(rel_est[:3, 3] - rel_true[:3, 3])
+            assert rot < 2.0, f"pair {a}-{b} rotation {rot}"
+            assert trans < 0.15, f"pair {a}-{b} translation {trans}"
+            ok_pairs += 1
+        assert ok_pairs >= 3, "too many unregistered strips"
+
+        merged = compose_maps(views, transforms, 0.1)
+        assert merged is not None
+        mx, _ = merged.to_arrays()
+        assert len(mx) > 2000
