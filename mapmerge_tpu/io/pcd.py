@@ -122,7 +122,12 @@ def read_pcd_arrays(path: str | os.PathLike) -> tuple[np.ndarray, Optional[np.nd
             rec = np.frombuffer(buf, dtype=dtype, count=n_points)
         elif data_mode == "binary_compressed":
             comp_size, uncomp_size = np.frombuffer(f.read(8), dtype=np.uint32)
-            raw = _lzf_decompress(f.read(int(comp_size)), int(uncomp_size))
+            payload = f.read(int(comp_size))
+            from mapmerge_tpu import native
+
+            raw = native.lzf_decompress(payload, int(uncomp_size))
+            if raw is None:  # no native lib -> pure Python fallback
+                raw = _lzf_decompress(payload, int(uncomp_size))
             # binary_compressed stores fields SoA (all x, then all y, ...)
             rec = np.zeros(n_points, dtype=dtype)
             off = 0

@@ -1,0 +1,208 @@
+"""Online incremental merge node.
+
+TPU-native equivalent of the reference's ROS node runtime (class MapMerge3d,
+src/map_merge_node.cpp + include/map_merge_3d/map_merge_node.h): three
+rate-decoupled periodic jobs —
+
+  - discovery (default 0.05 Hz): find newly publishing robots via the
+    transport (the topic-pattern scan, map_merge_node.cpp:57-100);
+  - transforms estimation (default 0.01 Hz): full re-estimation from the
+    latest map snapshot — stateless per tick, exactly like the reference
+    (map_merge_node.cpp:133-153; re-estimating from scratch is what makes
+    the design robust to drift and joining robots, SURVEY.md §5);
+  - map compositing (default 0.3 Hz): cheap re-composition with the most
+    recent (possibly stale) transforms (map_merge_node.cpp:105-131),
+    aligned to the maps known at the last estimation (clouds.resize
+    semantics, map_merge_node.cpp:114-116).
+
+plus a pose publication hook (the tf-broadcast analog,
+map_merge_node.cpp:231-249): subscribers receive (robot, 4x4 world pose)
+updates; failed maps get a zero pose (doc/wiki.txt:183).
+
+Snapshot isolation mirrors the reference's locking: transport snapshots
+under its own lock, results under the node lock, the latest merged map
+latched for late subscribers (the latched publisher, map_merge_node.cpp:28).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from mapmerge_tpu.core.cloud import PointCloud
+from mapmerge_tpu.core.params import MergeParams
+from mapmerge_tpu.pipeline.merging import compose_maps, estimate_maps_transforms
+from mapmerge_tpu.runtime.transport import Transport
+
+
+class MapMergeNode:
+    def __init__(
+        self,
+        transport: Transport,
+        params: Optional[MergeParams] = None,
+        compositing_rate: float = 0.3,
+        discovery_rate: float = 0.05,
+        estimation_rate: float = 0.01,
+        world_frame: str = "world",
+        mesh=None,
+        pose_callback: Optional[Callable[[str, np.ndarray], None]] = None,
+        seed: int = 0,
+    ):
+        self.transport = transport
+        self.params = params or MergeParams()
+        self.rates = {
+            "compositing": compositing_rate,
+            "discovery": discovery_rate,
+            "estimation": estimation_rate,
+        }
+        self.world_frame = world_frame
+        self.mesh = mesh
+        self.pose_callback = pose_callback
+        self.seed = seed
+
+        self._lock = threading.Lock()
+        self._robots: list[str] = []  # discovery order = node index order
+        self._transforms: dict[str, np.ndarray] = {}
+        self._estimated_robots: list[str] = []
+        self._merged: Optional[PointCloud] = None
+        self._merged_stamp: float = 0.0
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._ticks = {"compositing": 0, "discovery": 0, "estimation": 0}
+
+    # ---- public thread-safe accessors (map_merge_node.h:84-120) ----
+    def get_robots(self) -> list[str]:
+        with self._lock:
+            return list(self._robots)
+
+    def get_transforms(self) -> dict[str, np.ndarray]:
+        with self._lock:
+            return {k: v.copy() for k, v in self._transforms.items()}
+
+    def get_merged_map(self) -> Optional[PointCloud]:
+        with self._lock:
+            return self._merged  # latched (map_merge_node.cpp:28-29)
+
+    # ---- periodic jobs ----
+    def discovery(self) -> None:
+        found = self.transport.discover()
+        with self._lock:
+            for robot in found:
+                if robot not in self._robots:
+                    self._robots.append(robot)
+            self._ticks["discovery"] += 1
+
+    def _snapshot_clouds(self, robots: list[str]):
+        """Latest map per robot (two-level locking analog,
+        map_merge_node.cpp:164-175)."""
+        clouds = []
+        kept = []
+        for robot in robots:
+            latest = self.transport.latest(robot)
+            if latest is None:
+                continue
+            _, xyz, rgb = latest
+            kept.append(robot)
+            clouds.append((xyz, rgb))
+        return kept, clouds
+
+    def transforms_estimation(self) -> None:
+        robots = self.get_robots()
+        kept, raw = self._snapshot_clouds(robots)
+        if len(kept) == 0:
+            return
+        cap = max(len(x) for x, _ in raw)
+        cap = min(cap, self.params.max_points)
+        clouds = [
+            PointCloud.from_arrays(x[:cap], None if r is None else r[:cap], capacity=cap)
+            for x, r in raw
+        ]
+        transforms = estimate_maps_transforms(
+            clouds, self.params, seed=self.seed, mesh=self.mesh
+        )
+        with self._lock:
+            self._transforms = {}
+            for i, robot in enumerate(kept):
+                t = (
+                    transforms[i]
+                    if i < len(transforms)
+                    else np.zeros((4, 4), np.float32)
+                )
+                self._transforms[robot] = np.asarray(t, np.float32)
+            self._estimated_robots = kept
+            self._ticks["estimation"] += 1
+        self._publish_poses()
+
+    def map_compositing(self) -> None:
+        with self._lock:
+            robots = list(self._estimated_robots)
+            transforms = [self._transforms.get(r) for r in robots]
+        if not robots:
+            return
+        kept, raw = self._snapshot_clouds(robots)
+        transforms = [
+            t for r, t in zip(robots, transforms) if r in kept and t is not None
+        ]
+        raw = [c for r, c in zip(robots, raw) if r in kept]
+        if not raw:
+            return
+        cap = max(len(x) for x, _ in raw)
+        clouds = [
+            PointCloud.from_arrays(x, r, capacity=cap) for x, r in raw
+        ]
+        merged = compose_maps(
+            clouds, transforms, self.params.output_resolution
+        )
+        with self._lock:
+            self._merged = merged
+            self._merged_stamp = time.time()
+            self._ticks["compositing"] += 1
+
+    def _publish_poses(self) -> None:
+        if self.pose_callback is None:
+            return
+        for robot, t in self.get_transforms().items():
+            # zero transform published as-is for failed maps (wiki.txt:183)
+            self.pose_callback(robot, t)
+
+    # ---- lifecycle ----
+    def start(self) -> None:
+        def loop(name: str, fn: Callable[[], None]):
+            period = 1.0 / self.rates[name]
+            while not self._stop.is_set():
+                t0 = time.time()
+                try:
+                    fn()
+                except Exception as e:  # keep the loop alive (spinner analog)
+                    print(f"[{name}] error: {e}", flush=True)
+                dt = time.time() - t0
+                self._stop.wait(max(0.0, period - dt))
+
+        jobs = {
+            "discovery": self.discovery,
+            "estimation": self.transforms_estimation,
+            "compositing": self.map_compositing,
+        }
+        for name, fn in jobs.items():
+            th = threading.Thread(
+                target=loop, args=(name, fn), name=f"mapmerge-{name}",
+                daemon=True,
+            )
+            th.start()
+            self._threads.append(th)
+
+    def stop(self) -> None:
+        self._stop.set()
+        for th in self._threads:
+            th.join(timeout=30.0)
+        self._threads.clear()
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
