@@ -150,6 +150,22 @@ def radius_neighbors(
     return idx, d2k, valid
 
 
+def _use_pallas() -> bool:
+    """Compiled Pallas kernels only on TPU; XLA path elsewhere (tests run
+    the Pallas path through the interpreter explicitly, tests/test_pallas)."""
+    import os
+
+    env = os.environ.get("MAPMERGE_PALLAS", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def nearest_neighbor(
     q: jax.Array,
     p: jax.Array,
@@ -159,8 +175,14 @@ def nearest_neighbor(
     """Exact 1-NN: (idx (Q,), squared distance (Q,)).
 
     Backs ICP correspondence search and transformScore (reference
-    src/matching.cpp:196-221, 259-268).
+    src/matching.cpp:196-221, 259-268). On TPU this dispatches to the
+    fused Pallas kernel (pallas/nn.py); the tiled XLA path below is the
+    portable fallback and the parity oracle.
     """
+    if _use_pallas():
+        from mapmerge_tpu.pallas.nn import nearest_neighbor_pallas
+
+        return nearest_neighbor_pallas(q, p, p_mask)
     qc, pc = _center(q, p, p_mask)
 
     def tile_fn(q_slab):

@@ -42,7 +42,9 @@ def extract_features_sharded(
     """
 
     def local(cloud_batch: PointCloud) -> CloudFeatures:
-        return jax.vmap(lambda c: extract_features(c, params))(cloud_batch)
+        # lax.map, not vmap: see pipeline/merging.extract_features_batch —
+        # each cloud saturates its device; batching pessimizes the program
+        return jax.lax.map(lambda c: extract_features(c, params), cloud_batch)
 
     return shard_map(
         local,
@@ -68,12 +70,13 @@ def estimate_pairs_sharded(
     """
 
     def local(feats: CloudFeatures, si, ti, ks):
-        def one(s, t, k):
+        def one(args):
+            s, t, k = args
             return estimate_transform(
                 _gather(feats, s), _gather(feats, t), params, k
             )
 
-        return jax.vmap(one)(si, ti, ks)
+        return jax.lax.map(one, (si, ti, ks))
 
     return shard_map(
         local,

@@ -40,8 +40,17 @@ from mapmerge_tpu.pipeline.registration import estimate_transform
 
 @partial(jax.jit, static_argnames=("params",))
 def extract_features_batch(batch: PointCloud, params: MergeParams):
-    """Vmapped per-cloud feature stage over a stacked (B, N, ...) batch."""
-    return jax.vmap(lambda c: extract_features(c, params))(batch)
+    """Per-cloud feature stage over a stacked (B, N, ...) batch.
+
+    lax.map (sequential scan of the unbatched program), NOT vmap: one
+    cloud's feature stage already saturates the chip (tiled 32k-point
+    dense neighbor passes), and batching the body pessimizes the
+    per-cloud program ~4.5x on TPU (measured: 561 ms/cloud unbatched vs
+    2.5 s/cloud under vmap) — batched top_k/sort/scatter lower much worse
+    than their unbatched forms. Cross-cloud parallelism belongs on the
+    mesh axis (parallel/pair_shard.py), not in the batcher.
+    """
+    return jax.lax.map(lambda c: extract_features(c, params), batch)
 
 
 def _gather_pair(features: CloudFeatures, idx: jax.Array) -> CloudFeatures:
@@ -56,14 +65,22 @@ def estimate_pairs_batch(
     params: MergeParams,
     keys: jax.Array,
 ):
-    """Register all (src, tgt) pairs in one vmapped program."""
+    """Register all (src, tgt) pairs in one batched program.
 
-    def one(si, ti, key):
+    lax.map over the pair axis for the same reason as
+    extract_features_batch: each pair's registration (dense NN over full
+    clouds inside ICP) saturates the chip, and the unbatched program is
+    several times faster than its vmapped form; per-pair while_loops also
+    converge individually instead of in masked lockstep.
+    """
+
+    def one(args):
+        si, ti, key = args
         return estimate_transform(
             _gather_pair(features, si), _gather_pair(features, ti), params, key
         )
 
-    return jax.vmap(one)(src_idx, tgt_idx, keys)
+    return jax.lax.map(one, (src_idx, tgt_idx, keys))
 
 
 def estimate_maps_transforms(
