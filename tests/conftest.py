@@ -21,6 +21,12 @@ import jax  # noqa: E402
 # run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles the same large pipeline
+# programs every run; caching them on disk cuts repeat-run wall-clock a lot.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
