@@ -8,10 +8,14 @@ score) — timed warm, end-to-end (features + registration + graph solve).
 Prints ONE JSON line:
   {"metric": ..., "value": pairs/sec, "unit": ..., "vs_baseline": ...}
 
-vs_baseline: speedup over the same pipeline on this host's CPU (measured
-once via `python bench.py --cpu` and frozen below — the reference publishes
-no numbers, BASELINE.md, so the measured CPU wall-clock of an equivalent
-single-node pipeline is the stand-in until a PCL oracle lands).
+vs_baseline: speedup over the CPU oracle (mapmerge_tpu/oracle.py) — a
+faithful kd-tree (scipy cKDTree) implementation of the reference pipeline
+with the reference's stage order and no TPU-shape compromises, measured on
+THIS exact scene+config by scripts/run_oracle.py and frozen in
+golden/config1.json. The reference publishes no numbers (BASELINE.md), so
+the measured kd-tree CPU wall-clock is the PCL stand-in; the oracle's
+estimated poses are additionally the golden data the TPU pipeline must
+match (tests/test_oracle_parity.py).
 
 Robustness notes (see .claude/skills/verify/SKILL.md): the TPU behind axon
 is single-tenant and first compiles can be slow — the persistent compile
@@ -21,15 +25,25 @@ cache is enabled and the timed section runs only after a full warm-up.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-#: warm end-to-end wall-clock of this exact config on the host CPU,
-#: measured 2026-08-17 via `python bench.py --cpu` on the round-1 box
-CPU_BASELINE_SECONDS = 121.47
-_CPU_BASELINE_FILE = "bench_cpu_baseline.json"
+_GOLDEN_CONFIG1 = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "golden", "config1.json"
+)
+
+
+def oracle_baseline_seconds() -> float | None:
+    """Frozen CPU-oracle wall-clock for this exact config
+    (scripts/run_oracle.py -> golden/config1.json)."""
+    try:
+        with open(_GOLDEN_CONFIG1) as f:
+            return float(json.load(f)["wall_seconds"])
+    except (OSError, KeyError, ValueError):
+        return None
 
 
 def build_views():
@@ -100,17 +114,7 @@ def main():
 
     pairs_per_sec = 1.0 / elapsed
 
-    if cpu:
-        with open(_CPU_BASELINE_FILE, "w") as f:
-            json.dump({"cpu_seconds": elapsed}, f)
-
-    baseline = CPU_BASELINE_SECONDS
-    if baseline is None:
-        try:
-            with open(_CPU_BASELINE_FILE) as f:
-                baseline = json.load(f)["cpu_seconds"]
-        except OSError:
-            baseline = None
+    baseline = oracle_baseline_seconds()
     vs_baseline = (baseline / elapsed) if baseline else 0.0
 
     print(

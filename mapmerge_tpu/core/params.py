@@ -81,6 +81,16 @@ class MergeParams:
     #: SIFT scale-space shape (reference features.cpp:92: 3 octaves x 3 scales)
     sift_octaves: int = 3
     sift_scales_per_octave: int = 3
+    #: per-iteration shrink factor of the ICP correspondence bound
+    #: (coarse-to-fine, ops/icp.py); 1.0 = strict PCL fixed-bound semantics
+    icp_anneal: float = 0.85
+    #: neighbor engine: "dense" (exact O(Q*P) tiled sweeps), "grid"
+    #: (hash-grid bounded scans, ops/grid.py — the scale path), or "auto"
+    #: (grid above neighbors.GRID_AUTO_THRESHOLD points)
+    neighbor_engine: str = "auto"
+    #: max candidates read per hash bucket under the grid engine; overflow
+    #: is detected and surfaced (CloudFeatures.scan_overflow), never silent
+    grid_scan_cap: int = 128
 
     def __post_init__(self):
         if isinstance(self.keypoint_type, str) and not isinstance(
@@ -105,6 +115,25 @@ class MergeParams:
             )
 
     # ---- construction helpers ----
+    @classmethod
+    def strict_parity(cls, **overrides: Any) -> "MergeParams":
+        """Params with every behavior-deviating default switched off.
+
+        The stock defaults deviate from the reference in exactly two ways,
+        both opt-out improvements:
+          - `robust_confidence=True`: graph edges weighted by
+            coverage^2/score * inliers instead of the raw 1/score
+            (map_merging.cpp:265-268);
+          - `icp_anneal=0.85`: coarse-to-fine ICP correspondence bound
+            instead of PCL's fixed max_correspondence_distance
+            (matching.cpp:204-220).
+        This constructor restores strict reference semantics for both (the
+        parity path is e2e-tested in tests/test_pipeline_e2e.py).
+        """
+        base = dict(robust_confidence=False, icp_anneal=1.0)
+        base.update(overrides)
+        return cls(**base)
+
     @classmethod
     def derived(cls, resolution: float = _DEFAULT_RESOLUTION, **overrides: Any):
         """Build params with radii re-derived from `resolution`.

@@ -37,6 +37,8 @@ def compute_descriptors(
     radius: float,
     max_neighbors: int = 64,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> Descriptors:
     """Compute `kind` descriptors at keypoints over the `cloud` surface
     (reference features.cpp:152-166 -> dispatch_descriptors.h:113)."""
@@ -47,7 +49,8 @@ def compute_descriptors(
             f"{sorted(k.value for k in _REGISTRY)}"
         )
     return fn(
-        cloud, normals, keypoints, radius, max_neighbors=max_neighbors, tile=tile
+        cloud, normals, keypoints, radius, max_neighbors=max_neighbors,
+        tile=tile, engine=engine, scan_cap=scan_cap,
     )
 
 

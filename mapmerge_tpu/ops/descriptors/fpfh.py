@@ -43,12 +43,15 @@ def _spfh(
     radius: float,
     max_neighbors: int,
     tile: int,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
     """SPFH (P, 33) for every valid surface point + validity (P,)."""
     p_ok = cloud.mask & normals.valid
     idx, _, nmask = radius_neighbors(
         cloud.xyz, cloud.xyz, radius, max_neighbors,
         p_mask=p_ok, tile=tile, exclude_self=True,
+        engine=engine, scan_cap=scan_cap,
     )
     nbr_xyz = cloud.xyz[idx]  # (P, M, 3)
     nbr_nrm = normals.normals[idx]
@@ -74,15 +77,20 @@ def compute_fpfh(
     radius: float,
     max_neighbors: int = 64,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> Descriptors:
     """FPFH-33 at each keypoint over the full-resolution search surface
     (reference features.cpp:99-150 template instantiated with
     pcl::FPFHEstimation)."""
-    spfh, spfh_ok = _spfh(cloud, normals, radius, max_neighbors, tile)
+    spfh, spfh_ok = _spfh(
+        cloud, normals, radius, max_neighbors, tile, engine, scan_cap
+    )
 
     idx, d2, nmask = radius_neighbors(
         keypoints.xyz, cloud.xyz, radius, max_neighbors,
         p_mask=cloud.mask & normals.valid, tile=tile,
+        engine=engine, scan_cap=scan_cap,
     )
     dist = jnp.sqrt(jnp.maximum(d2, 0.0))
     w = jnp.where(

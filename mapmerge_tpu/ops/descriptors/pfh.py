@@ -64,11 +64,13 @@ def _neighborhood(
     radius: float,
     max_neighbors: int,
     tile: int,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ):
     p_ok = cloud.mask & normals.valid
     idx, _, nmask = radius_neighbors(
         keypoints.xyz, cloud.xyz, radius, max_neighbors,
-        p_mask=p_ok, tile=tile,
+        p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
     )
     nmask = nmask & keypoints.mask[:, None]
     return idx, nmask
@@ -92,9 +94,12 @@ def compute_pfh(
     radius: float,
     max_neighbors: int = 64,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> Descriptors:
     idx, nmask = _neighborhood(
-        cloud, normals, keypoints, radius, max_neighbors, tile
+        cloud, normals, keypoints, radius, max_neighbors, tile,
+        engine=engine, scan_cap=scan_cap,
     )
     theta, alpha, phi, w, _ = _pair_block(cloud, normals, idx, nmask)
     hist = _joint_histogram(theta, alpha, phi, w)
@@ -109,9 +114,12 @@ def compute_pfhrgb(
     radius: float,
     max_neighbors: int = 64,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> Descriptors:
     idx, nmask = _neighborhood(
-        cloud, normals, keypoints, radius, max_neighbors, tile
+        cloud, normals, keypoints, radius, max_neighbors, tile,
+        engine=engine, scan_cap=scan_cap,
     )
     theta, alpha, phi, w, _ = _pair_block(cloud, normals, idx, nmask)
     geo = _joint_histogram(theta, alpha, phi, w)

@@ -34,11 +34,13 @@ def compute_rsd(
     max_neighbors: int = 64,
     tile: int = 1024,
     plane_radius: float = _PLANE_RADIUS,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> Descriptors:
     p_ok = cloud.mask & normals.valid
     idx, d2, nmask = radius_neighbors(
         keypoints.xyz, cloud.xyz, radius, max_neighbors,
-        p_mask=p_ok, tile=tile,
+        p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
     )
     nmask = nmask & keypoints.mask[:, None]
     dist = jnp.sqrt(jnp.maximum(d2, 0.0))  # (K, M)

@@ -41,6 +41,8 @@ def compute_sc3d(
     radius: float,
     max_neighbors: int = 64,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> Descriptors:
     p_ok = cloud.mask & normals.valid
     # 1980 bins need a denser sample than the default gather cap (PCL uses
@@ -56,7 +58,7 @@ def compute_sc3d(
 
     idx, d2, nmask = radius_neighbors(
         keypoints.xyz, cloud.xyz, radius, max_neighbors,
-        p_mask=p_ok, tile=tile,
+        p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
     )
     nmask = nmask & keypoints.mask[:, None]
     nbr_xyz = cloud.xyz[idx]

@@ -27,12 +27,16 @@ def voxel_downsample(
     cloud: PointCloud,
     resolution: float,
     out_capacity: int | None = None,
-) -> PointCloud:
+    with_stats: bool = False,
+) -> PointCloud | tuple[PointCloud, jax.Array]:
     """Downsample to one centroid per occupied `resolution`-cube.
 
     `out_capacity` bounds the number of emitted voxels (defaults to the
     input capacity, which is always sufficient). If a smaller capacity is
-    given, voxels beyond it (in lexicographic key order) are dropped.
+    given, voxels beyond it (in lexicographic key order) are dropped — pass
+    `with_stats=True` to also get the number of valid input points that were
+    dropped this way (an int32 scalar; 0 means no geometry was lost), so
+    callers can surface overflow instead of losing points silently.
     """
     n = cloud.capacity
     cap = out_capacity or n
@@ -89,4 +93,8 @@ def voxel_downsample(
     out_rgb = jnp.stack([cr, cg, cb], axis=-1)
     out_xyz = jnp.where(out_mask[:, None], out_xyz, FAR)
     out_rgb = jnp.where(out_mask[:, None], out_rgb, 0.0)
-    return PointCloud(xyz=out_xyz, rgb=out_rgb, mask=out_mask)
+    out = PointCloud(xyz=out_xyz, rgb=out_rgb, mask=out_mask)
+    if with_stats:
+        dropped = jnp.sum(jnp.where(overflow, w, 0.0)).astype(jnp.int32)
+        return out, dropped
+    return out

@@ -1,0 +1,511 @@
+"""Cell-grid neighbor engine — the scale path past O(N^2).
+
+The dense tiled engine (ops/neighbors.py) is exact but streams a (tile, P)
+distance slab per query tile: at 500k points one radius pass is 2.5e11 pair
+distances — the reference's kd-tree call sites (src/features.cpp:34-41,
+171-176, src/matching.cpp:50-56) are unreachable that way. This module is
+the TPU-native replacement at scale (SURVEY.md §7 "grid-hash
+neighborhoods").
+
+Design (bucket-centric, chosen for the TPU memory system):
+  - Points are binned by WRAPPED integer cell coordinates (cell edge >=
+    query radius; coordinates taken modulo static grid dims) and scattered
+    once into a dense (H, C) cell tensor — contiguous (C, 3) blocks per
+    cell.
+  - Queries are binned the SAME way. All queries of one cell share one
+    candidate set: the 27 neighbor cells' blocks, gathered as whole (C, 3)
+    slabs — 27 block gathers per CELL, not per query. A naive per-query
+    gather was measured 11.7 s per radius pass at 65k points on a v5e chip
+    (XLA row gathers); this layout does the same pass in milliseconds.
+  - Wrapping makes per-cell sharing exact: the wrapped ids of a cell's 27
+    neighbors equal the 27 neighbor ids of the wrapped cell, so queries
+    that collide by wrapping still scan a superset of their true neighbor
+    cells, and the exact distance test removes the far impostors.
+
+Correctness model:
+  - cell edge >= radius guarantees every true neighbor lies in one of the
+    27 neighbor cells; wrap collisions only ADD candidates; duplicate ids
+    among the 27 (tiny grids) are deduped so nothing is double counted.
+  - the only approximation is the bucket capacity `scan_cap` (points and
+    queries beyond it in one cell are dropped at build time). Overflow is
+    COUNTED and returned by build_grid / surfaced by the feature pipeline
+    (CloudFeatures.scan_overflow) — no silent caps.
+
+Everything is mask-aware and fixed-shape; cells are processed in tiles
+under lax.map, so peak memory is one (tile, C, 27*C) distance block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapmerge_tpu.core.cloud import FAR
+
+#: squared-distance value used to exclude masked/absent candidates
+BIG = 1.0e12
+
+# 27 neighbor-cell offsets, x fastest — numpy on purpose: this module is
+# lazily imported from inside jit traces (ops/neighbors.py dispatch), and a
+# module-level jnp constant created under an ambient trace would leak that
+# trace's tracer into every later program.
+_OFFSETS = np.asarray(
+    [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+    np.int32,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CellGrid:
+    """Points scattered into a dense (H, C) cell tensor."""
+
+    cell_xyz: jax.Array  # (H, C, 3) float32; empty slots parked FAR
+    cell_idx: jax.Array  # (H, C) int32 original index; empty slots = n
+    cell_ok: jax.Array  # (H, C) bool slot occupied by a valid point
+    count: jax.Array  # (H,) int32 stored (capped) bucket sizes
+    raw_max: jax.Array  # () int32 fullest bucket BEFORE capping
+    overflow: jax.Array  # () int32 valid points dropped by the cap
+    cell_size: float = dataclasses.field(metadata=dict(static=True))
+    dims: tuple = dataclasses.field(metadata=dict(static=True))  # (Gx,Gy,Gz)
+    cap: int = dataclasses.field(metadata=dict(static=True))  # C
+
+
+def default_dims(n: int) -> tuple[int, int, int]:
+    """Grid dims with H = Gx*Gy*Gz ~ max(4096, n/16), power-of-two axes.
+
+    Sized for the map-merging regime: voxel-downsampled surface clouds
+    carry ~(r/res)^2 >= ~36 points per radius-sized cell, so H = n/16
+    keeps most cells occupied (padded empty cells are pure waste — every
+    (H, C) slot is processed)."""
+    h_target = 4096
+    while h_target < min(max(n // 16, 4096), 1 << 18):
+        h_target <<= 1
+    # split the exponent over three near-equal power-of-two axes
+    e = h_target.bit_length() - 1
+    ex = (e + 2) // 3
+    ey = (e - ex + 1) // 2
+    ez = e - ex - ey
+    return (1 << ex, 1 << ey, 1 << ez)
+
+
+def _bucket_of(cells: jax.Array, dims: tuple) -> jax.Array:
+    gx, gy, gz = dims
+    bx = jnp.mod(cells[..., 0], gx)
+    by = jnp.mod(cells[..., 1], gy)
+    bz = jnp.mod(cells[..., 2], gz)
+    return (bz * gy + by) * gx + bx
+
+
+def _neighbor_buckets(b: jax.Array, dims: tuple) -> jax.Array:
+    """(..., 27) wrapped bucket ids of the 27 neighbor cells of bucket b."""
+    gx, gy, gz = dims
+    bx = jnp.mod(b, gx)
+    by = jnp.mod(b // gx, gy)
+    bz = b // (gx * gy)
+    off = _OFFSETS  # (27, 3) numpy
+    nx = jnp.mod(bx[..., None] + off[:, 0], gx)
+    ny = jnp.mod(by[..., None] + off[:, 1], gy)
+    nz = jnp.mod(bz[..., None] + off[:, 2], gz)
+    return (nz * gy + ny) * gx + nx
+
+
+def build_grid(
+    xyz: jax.Array,
+    mask: jax.Array | None,
+    cell_size: float,
+    dims: tuple | None = None,
+    cap: int = 128,
+) -> CellGrid:
+    """Scatter points into the dense cell tensor. O(N log N) (one sort)."""
+    n = xyz.shape[0]
+    if dims is None:
+        dims = default_dims(n)
+    h = dims[0] * dims[1] * dims[2]
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+    cells = jnp.floor(xyz * jnp.float32(1.0 / cell_size)).astype(jnp.int32)
+    bucket = _bucket_of(cells, dims)
+    bucket = jnp.where(mask, bucket, h)  # invalid points to a spill bucket
+
+    # rank within bucket via one sort: sorted order is bucket-major, so
+    # rank = position - start_of_bucket
+    order = jnp.argsort(bucket).astype(jnp.int32)
+    bucket_s = bucket[order]
+    counts_all = jnp.zeros((h + 1,), jnp.int32).at[bucket_s].add(1)
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts_all[:-1], dtype=jnp.int32)]
+    )
+    rank = jnp.arange(n, dtype=jnp.int32) - start[bucket_s]
+
+    slot = bucket_s * cap + jnp.minimum(rank, cap - 1)
+    keep = (rank < cap) & (bucket_s < h)
+    slot = jnp.where(keep, slot, h * cap)  # spill slot (dropped)
+
+    cell_xyz = (
+        jnp.full((h * cap + 1, 3), FAR, jnp.float32)
+        .at[slot].set(xyz[order], mode="drop")[:-1]
+        .reshape(h, cap, 3)
+    )
+    cell_idx = (
+        jnp.full((h * cap + 1,), n, jnp.int32)
+        .at[slot].set(order, mode="drop")[:-1]
+        .reshape(h, cap)
+    )
+    cell_ok = (
+        jnp.zeros((h * cap + 1,), bool)
+        .at[slot].set(keep, mode="drop")[:-1]
+        .reshape(h, cap)
+    )
+    counts = counts_all[:h]
+    raw_max = jnp.max(counts)
+    overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+    return CellGrid(
+        cell_xyz=cell_xyz,
+        cell_idx=cell_idx,
+        cell_ok=cell_ok,
+        count=jnp.minimum(counts, cap),
+        raw_max=raw_max,
+        overflow=overflow,
+        cell_size=float(cell_size),
+        dims=tuple(dims),
+        cap=cap,
+    )
+
+
+def max_bucket_count(grid: CellGrid) -> jax.Array:
+    """Fullest bucket BEFORE capping — if this exceeds grid.cap, points
+    were dropped (grid.overflow counts them); callers surface it."""
+    return grid.raw_max
+
+
+def grid_query(
+    q: jax.Array,
+    grid: CellGrid,
+    tile_fn: Callable,
+    out_defaults,
+    q_mask: jax.Array | None = None,
+    tile: int = 16,
+    q_cap: int | None = None,
+):
+    """Bucket-grouped query processing.
+
+    Bins queries into the same wrapped cell layout as `grid`, processes
+    cells in tiles of `tile`, and scatters results back to query order.
+
+    tile_fn(q_block (B, Cq, 3), cand_xyz (B, M, 3), cand_ok (B, M),
+            cand_idx (B, M)) -> pytree of (B, Cq, ...) outputs.
+    `out_defaults`: matching pytree of per-query default values (scalars or
+    arrays broadcastable to the tail shape) used for queries that overflow
+    the query-side bucket capacity. Returns (outputs, q_overflow_count).
+    """
+    qg = build_grid(q, q_mask, grid.cell_size, grid.dims, q_cap or grid.cap)
+    h = grid.count.shape[0]
+    nq = q.shape[0]
+    c = grid.cap
+
+    buckets = jnp.arange(h, dtype=jnp.int32).reshape(-1, tile)
+
+    def fn(bucket_tile):  # (B,)
+        nbr = _neighbor_buckets(bucket_tile, grid.dims)  # (B, 27)
+        # dedupe ids duplicated by wrapping on tiny grids
+        nbr = jnp.sort(nbr, axis=-1)
+        dup = jnp.concatenate(
+            [jnp.zeros((nbr.shape[0], 1), bool), nbr[:, 1:] == nbr[:, :-1]],
+            axis=-1,
+        )
+        cand_xyz = grid.cell_xyz[nbr].reshape(nbr.shape[0], 27 * c, 3)
+        cand_ok = (grid.cell_ok[nbr] & ~dup[..., None]).reshape(
+            nbr.shape[0], 27 * c
+        )
+        cand_idx = grid.cell_idx[nbr].reshape(nbr.shape[0], 27 * c)
+        q_block = qg.cell_xyz[bucket_tile]  # (B, Cq, 3)
+        return tile_fn(q_block, cand_xyz, cand_ok, cand_idx)
+
+    out = jax.lax.map(fn, buckets)  # pytree of (H/B, B, Cq, ...)
+
+    q_slots = qg.cell_idx.reshape(-1)  # (H*Cq,) original query index or nq
+
+    def unsort(leaf, default):
+        flat = leaf.reshape((h * (q_cap or grid.cap),) + leaf.shape[3:])
+        base = jnp.broadcast_to(
+            jnp.asarray(default, flat.dtype), (nq + 1,) + flat.shape[1:]
+        )
+        return base.at[q_slots].set(flat, mode="drop")[:nq]
+
+    outputs = jax.tree_util.tree_map(unsort, out, out_defaults)
+    return outputs, qg.overflow
+
+
+def _d2(q_block: jax.Array, cand_xyz: jax.Array) -> jax.Array:
+    """(B, Cq, 3) x (B, M, 3) -> (B, Cq, M) squared distances."""
+    d = q_block[:, :, None, :] - cand_xyz[:, None, :, :]
+    return jnp.sum(d * d, axis=-1)
+
+
+# --------------------------------------------------------------- public ops
+def grid_radius_count(
+    q: jax.Array,
+    p: jax.Array,
+    radius: float,
+    p_mask: jax.Array | None = None,
+    tile: int = 16,
+    include_self: bool = True,
+    scan_cap: int = 128,
+    dims: tuple | None = None,
+) -> jax.Array:
+    """Grid twin of neighbors.radius_count (exact up to scan_cap)."""
+    grid = build_grid(p, p_mask, radius, dims, scan_cap)
+    r2 = jnp.float32(radius * radius)
+
+    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx):
+        within = cand_ok[:, None, :] & (_d2(q_block, cand_xyz) <= r2)
+        return jnp.sum(within, axis=-1).astype(jnp.int32)
+
+    counts, _ = grid_query(q, grid, tile_fn, jnp.int32(0), tile=tile)
+    if not include_self:
+        counts = counts - 1
+    return counts
+
+
+def grid_radius_neighbors(
+    q: jax.Array,
+    p: jax.Array,
+    radius: float,
+    k: int,
+    p_mask: jax.Array | None = None,
+    tile: int = 16,
+    exclude_self: bool = False,
+    scan_cap: int = 128,
+    dims: tuple | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Grid twin of neighbors.radius_neighbors: up to k nearest within
+    radius, nearest first, indices in ORIGINAL point order."""
+    grid = build_grid(p, p_mask, radius, dims, scan_cap)
+    r2 = jnp.float32(radius * radius)
+
+    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx):
+        d2 = _d2(q_block, cand_xyz)  # (B, Cq, M)
+        d2 = jnp.where(cand_ok[:, None, :], d2, BIG)
+        if exclude_self:
+            d2 = jnp.where(d2 <= 1e-12, BIG, d2)
+        b, cq, m = d2.shape
+        c = m // 27
+        # EXACT two-stage top-k: the global top-k is contained in the union
+        # of per-cell top-k's, and per-cell widths (C) are ~27x narrower —
+        # a single top_k over the full M width was the measured hot spot
+        k_cell = min(k, c)
+        d2_cells = d2.reshape(b, cq, 27, c)
+        neg1, pos1 = jax.lax.top_k(-d2_cells, k_cell)  # (B,Cq,27,kc)
+        cell_base = jnp.arange(27, dtype=jnp.int32)[None, None, :, None] * c
+        pos1_flat = (pos1 + cell_base).reshape(b, cq, 27 * k_cell)
+        d2_stage = (-neg1).reshape(b, cq, 27 * k_cell)
+        k_eff = min(k, d2_stage.shape[-1])
+        neg2, pos2 = jax.lax.top_k(-d2_stage, k_eff)
+        d2k = -neg2
+        pos = jnp.take_along_axis(pos1_flat, pos2, axis=-1)
+        idx = jnp.take_along_axis(
+            jnp.broadcast_to(cand_idx[:, None, :], d2.shape), pos, axis=-1
+        )
+        valid = d2k <= r2
+        if k_eff < k:
+            pad = k - k_eff
+            idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
+            d2k = jnp.pad(d2k, ((0, 0), (0, 0), (0, pad)), constant_values=BIG)
+            valid = jnp.pad(valid, ((0, 0), (0, 0), (0, pad)))
+        return idx.astype(jnp.int32), d2k, valid
+
+    (idx, d2k, valid), _ = grid_query(
+        q, grid, tile_fn,
+        (jnp.int32(0), jnp.float32(BIG), jnp.asarray(False)),
+        tile=tile,
+    )
+    # out-of-cloud sentinel index -> 0 (masked by valid=False anyway)
+    idx = jnp.where(idx >= p.shape[0], 0, idx)
+    return idx, d2k, valid
+
+
+def grid_nearest_neighbor(
+    q: jax.Array,
+    p: jax.Array,
+    bound: float,
+    p_mask: jax.Array | None = None,
+    tile: int = 16,
+    scan_cap: int = 128,
+    dims: tuple | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Bounded 1-NN: (idx, d2) with d2 = BIG when nothing lies within
+    `bound`. Exact for every consumer that discards matches beyond a known
+    bound (ICP's max_correspondence_distance, transformScore's max_range)."""
+    grid = build_grid(p, p_mask, bound, dims, scan_cap)
+    r2 = jnp.float32(bound * bound)
+
+    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx):
+        d2 = _d2(q_block, cand_xyz)
+        d2 = jnp.where(cand_ok[:, None, :] & (d2 <= r2), d2, BIG)
+        j = jnp.argmin(d2, axis=-1)  # (B, Cq)
+        best = jnp.take_along_axis(d2, j[..., None], axis=-1)[..., 0]
+        idx = jnp.take_along_axis(
+            jnp.broadcast_to(cand_idx[:, None, :], d2.shape), j[..., None],
+            axis=-1,
+        )[..., 0]
+        return idx.astype(jnp.int32), best
+
+    (idx, best), _ = grid_query(
+        q, grid, tile_fn, (jnp.int32(0), jnp.float32(BIG)), tile=tile
+    )
+    idx = jnp.where(idx >= p.shape[0], 0, idx)
+    return idx, best
+
+
+def grid_radius_reduce(
+    q: jax.Array,
+    p: jax.Array,
+    radius: float,
+    values: jax.Array,
+    p_mask: jax.Array | None = None,
+    tile: int = 16,
+    reduce: str = "sum",
+    scan_cap: int = 128,
+    dims: tuple | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Grid twin of neighbors.radius_reduce: (count, sum|max of values)."""
+    grid = build_grid(p, p_mask, radius, dims, scan_cap)
+    # values in cell layout: one gather into (H, C, V)
+    vals_pad = jnp.concatenate(
+        [values, jnp.zeros((1,) + values.shape[1:], values.dtype)]
+    )
+    cell_vals = vals_pad[grid.cell_idx]  # (H, C, V)
+    r2 = jnp.float32(radius * radius)
+    v_dim = values.shape[-1]
+
+    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx):
+        b = q_block.shape[0]
+        within = cand_ok[:, None, :] & (_d2(q_block, cand_xyz) <= r2)
+        count = jnp.sum(within, axis=-1).astype(jnp.int32)
+        # candidate values re-gathered per tile from the cell layout:
+        # reconstruct (B, M, V) from neighbor buckets
+        # (cand_idx rows point into the padded original array)
+        v = vals_pad[cand_idx]  # (B, M, V) — block rows, small B
+        if reduce == "sum":
+            out = jnp.einsum(
+                "bqm,bmv->bqv", within.astype(jnp.float32), v,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        elif reduce == "max":
+            out = jnp.max(
+                jnp.where(within[..., None], v[:, None, :, :], -BIG), axis=2
+            )
+        else:
+            raise ValueError(f"unknown reduce: {reduce}")
+        return count, out
+
+    (count, out), _ = grid_query(
+        q, grid, tile_fn,
+        (jnp.int32(0),
+         jnp.zeros((v_dim,), jnp.float32) if reduce == "sum"
+         else jnp.full((v_dim,), -BIG, jnp.float32)),
+        tile=tile,
+    )
+    del cell_vals
+    return count, out
+
+
+def grid_neighbor_moments(
+    q: jax.Array,
+    p: jax.Array,
+    radius: float,
+    p_mask: jax.Array | None = None,
+    tile: int = 16,
+    scan_cap: int = 128,
+    dims: tuple | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Grid twin of neighbors.neighbor_moments: (count, mean, cov).
+
+    Candidates are centered on the query before the moment sums, so the
+    covariance has no large-coordinate cancellation."""
+    grid = build_grid(p, p_mask, radius, dims, scan_cap)
+    r2 = jnp.float32(radius * radius)
+
+    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx):
+        rel = cand_xyz[:, None, :, :] - q_block[:, :, None, :]  # (B,Cq,M,3)
+        d2 = jnp.sum(rel * rel, axis=-1)
+        w = (cand_ok[:, None, :] & (d2 <= r2)).astype(jnp.float32)
+        s0 = jnp.sum(w, axis=-1)  # (B, Cq)
+        rx, ry, rz = rel[..., 0], rel[..., 1], rel[..., 2]
+        # explicit fused sums (6 unique second moments) — an einsum here
+        # forces the (B, Cq, M, 3) weighted operand to materialize; these
+        # stay elementwise+reduce and fuse with the d2 computation
+        s1 = jnp.stack(
+            [jnp.sum(w * rx, -1), jnp.sum(w * ry, -1), jnp.sum(w * rz, -1)],
+            axis=-1,
+        )  # (B, Cq, 3)
+        sxx = jnp.sum(w * rx * rx, -1)
+        sxy = jnp.sum(w * rx * ry, -1)
+        sxz = jnp.sum(w * rx * rz, -1)
+        syy = jnp.sum(w * ry * ry, -1)
+        syz = jnp.sum(w * ry * rz, -1)
+        szz = jnp.sum(w * rz * rz, -1)
+        s2 = jnp.stack(
+            [
+                jnp.stack([sxx, sxy, sxz], -1),
+                jnp.stack([sxy, syy, syz], -1),
+                jnp.stack([sxz, syz, szz], -1),
+            ],
+            axis=-2,
+        )  # (B, Cq, 3, 3)
+        denom = jnp.maximum(s0, 1.0)[..., None]
+        mean_rel = s1 / denom
+        e_outer = s2 / denom[..., None]
+        cov = e_outer - mean_rel[..., :, None] * mean_rel[..., None, :]
+        return s0, mean_rel + q_block, cov
+
+    (s0, mean, cov), _ = grid_query(
+        q, grid, tile_fn,
+        (jnp.float32(0), jnp.zeros((3,), jnp.float32),
+         jnp.zeros((3, 3), jnp.float32)),
+        tile=tile,
+    )
+    return s0, mean, cov
+
+
+def grid_gaussian_smooth(
+    q: jax.Array,
+    p: jax.Array,
+    values: jax.Array,
+    sigmas: list[float],
+    p_mask: jax.Array | None = None,
+    tile: int = 16,
+    scan_cap: int = 128,
+    dims: tuple | None = None,
+) -> jax.Array:
+    """Gaussian-weighted means of `values` (P,) at every sigma: (Q, S).
+
+    Neighborhood bounded at 3 * max(sigmas) (PCL SIFT scale-space
+    truncation). Backs the grid-engine SIFT scale space."""
+    r_bound = 3.0 * max(sigmas)
+    grid = build_grid(p, p_mask, r_bound, dims, scan_cap)
+    vals_pad = jnp.concatenate([values, jnp.zeros((1,), values.dtype)])
+    r2 = jnp.float32(r_bound * r_bound)
+
+    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx):
+        d2 = _d2(q_block, cand_xyz)  # (B, Cq, M)
+        base_ok = (cand_ok[:, None, :] & (d2 <= r2)).astype(jnp.float32)
+        v = vals_pad[cand_idx]  # (B, M)
+        outs = []
+        for s in sigmas:
+            w = jnp.exp(-d2 * jnp.float32(1.0 / (2.0 * s * s))) * base_ok
+            num = jnp.einsum("bqm,bm->bq", w, v)
+            den = jnp.sum(w, axis=-1)
+            outs.append(num / jnp.maximum(den, 1e-12))
+        return jnp.stack(outs, axis=-1)  # (B, Cq, S)
+
+    out, _ = grid_query(
+        q, grid, tile_fn, jnp.zeros((len(sigmas),), jnp.float32), tile=tile
+    )
+    return out

@@ -30,7 +30,7 @@ def icp_refine(
     target: PointCloud,
     initial: jax.Array,
     max_correspondence_distance: float,
-    outlier_rejection_threshold: float,  # reserved: PCL sets it, classic ICP path ignores it
+    outlier_rejection_threshold: float,
     max_iterations: int,
     transform_epsilon: float,
     tile: int = 1024,
@@ -47,6 +47,13 @@ def icp_refine(
     overlapping maps (SURVEY.md §7: coarse-to-fine ladder). Set anneal=1.0
     for strict PCL fixed-bound semantics.
 
+    `outlier_rejection_threshold` is the batched analog of PCL's
+    setRANSACOutlierRejectionThreshold (reference src/matching.cpp:206,
+    set to inlier_threshold at :253): each iteration fits on the bounded
+    correspondences, rejects those whose residual under that fit exceeds
+    the threshold, and refits on the surviving set — a trimmed two-pass
+    refit instead of PCL's sequential per-iteration RANSAC. <= 0 disables.
+
     `converged` is False when no iteration ever found >= 3 bounded
     correspondences (e.g. a zero/failed initial guess) — callers keep the
     unrefined transform then (pipeline/registration.py).
@@ -58,16 +65,29 @@ def icp_refine(
         if min_correspondence_distance is not None
         else max_correspondence_distance / 8.0
     )
+    reject2 = jnp.float32(outlier_rejection_threshold) ** 2
 
     def step(state):
         t, _, it, _, ever_ok, prev_mse = state
         dist = jnp.maximum(d_hi * jnp.float32(anneal) ** it, d_lo)
         moved = tf.apply(t, source.xyz)
+        # bound = the widest correspondence distance any iteration uses;
+        # lets large targets take the hash-grid path (ops/grid.py)
         idx, d2 = nearest_neighbor(
-            moved, target.xyz, p_mask=target.mask, tile=tile
+            moved, target.xyz, p_mask=target.mask, tile=tile,
+            bound=float(max_correspondence_distance),
         )
         w = (source.mask & (d2 <= dist * dist)).astype(jnp.float32)
-        delta, ok = kabsch(moved, target.xyz[idx], w)
+        matched = target.xyz[idx]
+        delta, ok = kabsch(moved, matched, w)
+        if outlier_rejection_threshold > 0:
+            # trimmed refit: drop correspondences that the first fit says
+            # are outliers, refit on the survivors
+            resid2 = jnp.sum((tf.apply(delta, moved) - matched) ** 2, axis=-1)
+            w_in = w * (resid2 <= reject2)
+            delta2, ok2 = kabsch(moved, matched, w_in)
+            delta = jnp.where(ok2, delta2, delta)
+            ok = ok | ok2
         t_new = jnp.where(ok, tf.compose(delta, t), t)
         # convergence needs BOTH gates (PCL DefaultConvergenceCriteria
         # combines a transform-change epsilon with a relative-MSE check):
@@ -76,7 +96,10 @@ def icp_refine(
         change = jnp.sqrt(jnp.sum((t_new - t) ** 2))
         mse = jnp.sum(jnp.where(w > 0, d2, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
         rel_mse = jnp.abs(mse - prev_mse) / jnp.maximum(prev_mse, 1e-12)
-        at_floor = d_hi * jnp.float32(anneal) ** it <= d_lo
+        if anneal >= 1.0:  # fixed-bound mode: no ladder to descend
+            at_floor = jnp.asarray(True)
+        else:
+            at_floor = d_hi * jnp.float32(anneal) ** it <= d_lo
         done = jnp.where(
             ok, (change < eps) & (rel_mse < 1e-4) & at_floor, True
         )

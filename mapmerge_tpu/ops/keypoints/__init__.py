@@ -19,6 +19,8 @@ def detect_keypoints(
     tile: int = 1024,
     sift_octaves: int = 3,
     sift_scales_per_octave: int = 3,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> Keypoints:
     """Dispatch mirroring the reference switch (features.cpp:85-97):
     SIFT(min_scale=resolution, octaves, scales, min_contrast=threshold) or
@@ -26,7 +28,8 @@ def detect_keypoints(
     if kind == Keypoint.HARRIS:
         return detect_keypoints_harris(
             cloud, normals, threshold=threshold, radius=radius,
-            max_keypoints=max_keypoints, tile=tile,
+            max_keypoints=max_keypoints, tile=tile, engine=engine,
+            scan_cap=scan_cap,
         )
     if kind == Keypoint.SIFT:
         from mapmerge_tpu.ops.keypoints.sift import detect_keypoints_sift
@@ -39,6 +42,8 @@ def detect_keypoints(
             min_contrast=threshold,
             max_keypoints=max_keypoints,
             tile=tile,
+            engine=engine,
+            scan_cap=scan_cap,
         )
     raise ValueError(f"unknown keypoint type: {kind}")
 

@@ -48,13 +48,15 @@ def harris_response(
     normals: SurfaceNormals,
     radius: float,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> jax.Array:
     """HARRIS corner response per cloud point (invalid slots -> -inf-ish)."""
     n = jnp.where(normals.valid[:, None], normals.normals, 0.0)
     outer = (n[:, :, None] * n[:, None, :]).reshape(-1, 9)
     _, sums = radius_reduce(
         cloud.xyz, cloud.xyz, radius, outer, p_mask=cloud.mask & normals.valid,
-        tile=tile,
+        tile=tile, engine=engine, scan_cap=scan_cap,
     )
     c = sums.reshape(-1, 3, 3)
     trace = c[:, 0, 0] + c[:, 1, 1] + c[:, 2, 2]
@@ -73,6 +75,8 @@ def _refine_step(
     normals: SurfaceNormals,
     radius: float,
     tile: int,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> jax.Array:
     """One corner-refinement solve: sum(n n^T) x = sum(n n^T p)."""
     nrm = jnp.where(normals.valid[:, None], normals.normals, 0.0)
@@ -82,6 +86,7 @@ def _refine_step(
     _, sums = radius_reduce(
         kp_xyz, cloud.xyz, radius, values,
         p_mask=cloud.mask & normals.valid, tile=tile,
+        engine=engine, scan_cap=scan_cap,
     )
     a = sums[:, :9].reshape(-1, 3, 3)
     b = sums[:, 9:]
@@ -125,15 +130,20 @@ def detect_keypoints_harris(
     refine: bool = True,
     refine_iters: int = 3,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> Keypoints:
     """Detect Harris3D keypoints (reference features.cpp:64-83 contract:
     non-max suppression on, refine on)."""
-    resp = harris_response(cloud, normals, radius, tile=tile)
+    resp = harris_response(
+        cloud, normals, radius, tile=tile, engine=engine, scan_cap=scan_cap
+    )
 
     # non-max suppression: own response must equal the neighborhood max
     _, nmax = radius_reduce(
         cloud.xyz, cloud.xyz, radius, resp[:, None],
         p_mask=cloud.mask & normals.valid, tile=tile, reduce="max",
+        engine=engine, scan_cap=scan_cap,
     )
     is_max = resp >= nmax[:, 0]
     keep = cloud.mask & normals.valid & is_max & (resp > threshold)
@@ -147,7 +157,9 @@ def detect_keypoints_harris(
 
     if refine:
         for _ in range(refine_iters):
-            kp_xyz = _refine_step(kp_xyz, cloud, normals, radius, tile)
+            kp_xyz = _refine_step(
+                kp_xyz, cloud, normals, radius, tile, engine, scan_cap
+            )
 
     kp_xyz = jnp.where(kp_mask[:, None], kp_xyz, FAR)
     return Keypoints(

@@ -15,7 +15,12 @@ Per octave (base scale doubling each octave, PCL sift_keypoint.hpp):
   3. extrema: a point is a keypoint at interior DoG level s if its value is
      the strict max or min among its 25 spatial nearest neighbors' values at
      levels s-1, s, s+1 and |DoG| > min_contrast (PCL compares the same
-     spatial neighborhood across the three levels).
+     spatial neighborhood across the three levels);
+  4. between octaves the cloud is voxel-downsampled with leaf = 2 * octave
+     scale (PCL detectKeypoints' VoxelGrid step) — this bounds neighborhood
+     sizes at higher octaves (the octave radius doubles but so does point
+     spacing) and keypoints of octave o live on the o-times-downsampled
+     cloud, exactly like PCL.
 Keypoints from all octaves are pooled and the top `max_keypoints` by |DoG|
 kept (fixed capacity).
 """
@@ -27,9 +32,20 @@ import jax.numpy as jnp
 
 from mapmerge_tpu.core.cloud import FAR, PointCloud
 from mapmerge_tpu.ops.keypoints.harris import Keypoints
-from mapmerge_tpu.ops.neighbors import BIG, radius_neighbors, sq_dists, tiled_query, _center
+from mapmerge_tpu.ops.neighbors import (
+    BIG,
+    _center,
+    _resolve_engine,
+    radius_neighbors,
+    sq_dists,
+    tiled_query,
+)
 
 _KNN = 25  # PCL's spatial neighborhood for extremum tests
+#: radius (in units of the octave scale) bounding the 25-NN search under
+#: the grid engine: points are spaced >= the previous octave's voxel leaf,
+#: so 8 scales comfortably covers 25 surface neighbors
+_GRID_KNN_RADIUS_SCALES = 8.0
 
 
 def _intensity(rgb: jax.Array) -> jax.Array:
@@ -45,8 +61,18 @@ def _scale_space(
     intensity: jax.Array,
     sigmas: list[float],
     tile: int,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> jax.Array:
     """Gaussian-smoothed intensities for every sigma: (S, P)."""
+    if _resolve_engine(engine, cloud.capacity) == "grid":
+        from mapmerge_tpu.ops.grid import grid_gaussian_smooth
+
+        out = grid_gaussian_smooth(
+            cloud.xyz, cloud.xyz, intensity, sigmas, p_mask=cloud.mask,
+            scan_cap=scan_cap,
+        )  # (P, S)
+        return out.T
     max_sigma = max(sigmas)
     r2_bound = jnp.float32((3.0 * max_sigma) ** 2)
     qc, pc = _center(cloud.xyz, cloud.xyz, cloud.mask)
@@ -79,29 +105,45 @@ def detect_keypoints_sift(
     min_contrast: float,
     max_keypoints: int,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> Keypoints:
     """Reference features.cpp:45-62: setScales(min_scale, octaves, scales),
     setMinimumContrast(min_contrast)."""
+    from mapmerge_tpu.ops.downsample import voxel_downsample
+
     p = cloud.capacity
-    # spatial neighborhood for extremum tests (pure k-NN; radius unbounded)
-    knn = min(_KNN + 1, p)
-    idx, _, nmask = radius_neighbors(
-        cloud.xyz, cloud.xyz, radius=1.0e6, k=knn,
-        p_mask=cloud.mask, tile=tile,
-    )
-    # slot 0 is the point itself (distance 0); neighbors are 1..
-    nbr_idx = idx[:, 1:]
-    nbr_ok = nmask[:, 1:]
-
-    intensity = _intensity(cloud.rgb)
-
     cand_resp = []
-    cand_mask = []
+    cand_xyz = []
     base = float(min_scale)
-    for _ in range(octaves):
+    oct_cloud = cloud
+    for octave in range(octaves):
+        # spatial neighborhood for extremum tests on THIS octave's cloud
+        # (pure k-NN; radius unbounded). Slot 0 is the point itself.
+        knn = min(_KNN + 1, p)
+        # dense engine: true unbounded k-NN (PCL semantics). grid engine:
+        # radius-bounded k-NN — _GRID_KNN_RADIUS_SCALES octave scales cover
+        # the 25 nearest on any surface denser than the octave voxel leaf
+        # (sparse edges degrade to fewer neighbors, like PCL at borders)
+        knn_radius = (
+            _GRID_KNN_RADIUS_SCALES * base
+            if _resolve_engine(engine, p) == "grid"
+            else 1.0e6
+        )
+        idx, _, nmask = radius_neighbors(
+            oct_cloud.xyz, oct_cloud.xyz, radius=knn_radius, k=knn,
+            p_mask=oct_cloud.mask, tile=tile, engine=engine,
+            scan_cap=scan_cap,
+        )
+        nbr_idx = idx[:, 1:]
+        nbr_ok = nmask[:, 1:]
+        intensity = _intensity(oct_cloud.rgb)
+
         n_s = scales_per_octave + 3
         sigmas = [base * (2.0 ** (s / scales_per_octave)) for s in range(n_s)]
-        smoothed = _scale_space(cloud, intensity, sigmas, tile)  # (S, P)
+        smoothed = _scale_space(
+            oct_cloud, intensity, sigmas, tile, engine, scan_cap
+        )  # (S, P)
         dog = smoothed[1:] - smoothed[:-1]  # (S-1, P)
 
         for s in range(1, dog.shape[0] - 1):
@@ -118,17 +160,23 @@ def detect_keypoints_sift(
                 jnp.nanmin(nbr_vals, axis=(0, 2)), jnp.min(own_adjacent, axis=0)
             )
             is_ext = (val > hi) | (val < lo)
-            keep = cloud.mask & is_ext & (jnp.abs(val) > min_contrast)
+            keep = oct_cloud.mask & is_ext & (jnp.abs(val) > min_contrast)
             cand_resp.append(jnp.where(keep, jnp.abs(val), -BIG))
-            cand_mask.append(keep)
+            cand_xyz.append(oct_cloud.xyz)
+        # PCL downsamples the cloud between octaves (VoxelGrid, leaf =
+        # 2 * octave scale) — next octave runs on the coarser cloud
+        if octave < octaves - 1:
+            oct_cloud = voxel_downsample(
+                oct_cloud, 2.0 * base, out_capacity=p
+            )
         base *= 2.0
 
     resp_all = jnp.concatenate(cand_resp)  # (L*P,)
+    xyz_all = jnp.concatenate(cand_xyz)  # (L*P, 3)
     k = min(max_keypoints, resp_all.shape[0])
     top_resp, top_i = jax.lax.top_k(resp_all, k)
     kp_mask = top_resp > -BIG / 2
-    point_i = top_i % p
-    kp_xyz = jnp.where(kp_mask[:, None], cloud.xyz[point_i], FAR)
+    kp_xyz = jnp.where(kp_mask[:, None], xyz_all[top_i], FAR)
     if k < max_keypoints:
         pad = max_keypoints - k
         kp_xyz = jnp.concatenate(

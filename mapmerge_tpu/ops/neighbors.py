@@ -26,6 +26,24 @@ from mapmerge_tpu.core.cloud import FAR
 #: squared-distance value used to exclude masked pairs
 BIG = 1.0e12
 
+#: point count above which "auto" switches from the dense O(Q*P) engine to
+#: the hash-grid engine (ops/grid.py) for radius-bounded queries
+GRID_AUTO_THRESHOLD = 49152
+
+
+def _resolve_engine(engine: str, p_count: int) -> str:
+    """'auto' -> dense for small clouds (exact oracle, no caps), grid past
+    GRID_AUTO_THRESHOLD where dense HBM traffic becomes the wall. Env
+    MAPMERGE_ENGINE=dense|grid forces one engine everywhere."""
+    import os
+
+    forced = os.environ.get("MAPMERGE_ENGINE", "")
+    if forced in ("dense", "grid"):
+        return forced
+    if engine != "auto":
+        return engine
+    return "grid" if p_count >= GRID_AUTO_THRESHOLD else "dense"
+
 
 def _center(q: jax.Array, p: jax.Array, p_mask: jax.Array | None):
     """Shift both point sets by the (valid-)mean of p to tame cancellation."""
@@ -86,6 +104,8 @@ def radius_count(
     p_mask: jax.Array | None = None,
     tile: int = 1024,
     include_self: bool = True,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> jax.Array:
     """Count of p-points within `radius` of each query (Q,) int32.
 
@@ -93,6 +113,13 @@ def radius_count(
     src/features.cpp:31-43). `include_self=False` subtracts the query point
     itself when q is drawn from p (a zero-distance hit).
     """
+    if _resolve_engine(engine, p.shape[0]) == "grid":
+        from mapmerge_tpu.ops.grid import grid_radius_count
+
+        return grid_radius_count(
+            q, p, radius, p_mask=p_mask,
+            include_self=include_self, scan_cap=scan_cap,
+        )
     qc, pc = _center(q, p, p_mask)
     r2 = jnp.float32(radius * radius)
     pm = None if p_mask is None else p_mask
@@ -119,6 +146,8 @@ def radius_neighbors(
     p_mask: jax.Array | None = None,
     tile: int = 1024,
     exclude_self: bool = False,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Up to `k` nearest p-points within `radius` per query.
 
@@ -126,6 +155,13 @@ def radius_neighbors(
     first. This is the fixed-degree gather that replaces PCL's variable-size
     radiusSearch results (SURVEY.md §7 "Hard parts": capped neighborhoods).
     """
+    if _resolve_engine(engine, p.shape[0]) == "grid":
+        from mapmerge_tpu.ops.grid import grid_radius_neighbors
+
+        return grid_radius_neighbors(
+            q, p, radius, k, p_mask=p_mask,
+            exclude_self=exclude_self, scan_cap=scan_cap,
+        )
     qc, pc = _center(q, p, p_mask)
     r2 = jnp.float32(radius * radius)
     k_eff = min(k, p.shape[0])
@@ -171,6 +207,9 @@ def nearest_neighbor(
     p: jax.Array,
     p_mask: jax.Array | None = None,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
+    bound: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact 1-NN: (idx (Q,), squared distance (Q,)).
 
@@ -178,7 +217,18 @@ def nearest_neighbor(
     src/matching.cpp:196-221, 259-268). On TPU this dispatches to the
     fused Pallas kernel (pallas/nn.py); the tiled XLA path below is the
     portable fallback and the parity oracle.
+
+    With `bound` given, matches beyond it may be reported with d2 = BIG —
+    exact for consumers that discard matches past the bound (ICP, score).
+    A bound is required for the grid engine; without one, large clouds
+    stay on the dense path.
     """
+    if bound is not None and _resolve_engine(engine, p.shape[0]) == "grid":
+        from mapmerge_tpu.ops.grid import grid_nearest_neighbor
+
+        return grid_nearest_neighbor(
+            q, p, bound=bound, p_mask=p_mask, scan_cap=scan_cap,
+        )
     if _use_pallas():
         from mapmerge_tpu.pallas.nn import nearest_neighbor_pallas
 
@@ -203,6 +253,8 @@ def radius_reduce(
     p_mask: jax.Array | None = None,
     tile: int = 1024,
     reduce: str = "sum",
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
     """Reduce `values` (P, C) over each query's radius neighborhood.
 
@@ -212,6 +264,13 @@ def radius_reduce(
     The workhorse behind Harris response accumulation and non-max
     suppression — any per-neighborhood statistic without a kd-tree.
     """
+    if _resolve_engine(engine, p.shape[0]) == "grid":
+        from mapmerge_tpu.ops.grid import grid_radius_reduce
+
+        return grid_radius_reduce(
+            q, p, radius, values, p_mask=p_mask,
+            reduce=reduce, scan_cap=scan_cap,
+        )
     qc, pc = _center(q, p, p_mask)
     r2 = jnp.float32(radius * radius)
 
@@ -244,6 +303,8 @@ def neighbor_moments(
     radius: float,
     p_mask: jax.Array | None = None,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Zeroth/first/second moments of the radius neighborhood of each query.
 
@@ -252,6 +313,12 @@ def neighbor_moments(
     (reference src/features.cpp:168-179), computed entirely as MXU matmuls:
     w @ 1, w @ p, and w @ (p ⊗ p) with w the {0,1} within-radius matrix.
     """
+    if _resolve_engine(engine, p.shape[0]) == "grid":
+        from mapmerge_tpu.ops.grid import grid_neighbor_moments
+
+        return grid_neighbor_moments(
+            q, p, radius, p_mask=p_mask, scan_cap=scan_cap,
+        )
     qc, pc = _center(q, p, p_mask)
     r2 = jnp.float32(radius * radius)
     # outer products flattened to (P, 9): upper triangle would suffice but 9

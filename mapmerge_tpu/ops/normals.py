@@ -41,6 +41,8 @@ def compute_surface_normals(
     radius: float,
     viewpoint: tuple[float, float, float] = (0.0, 0.0, 0.0),
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> SurfaceNormals:
     """Estimate normals for every valid point of `cloud`.
 
@@ -48,7 +50,8 @@ def compute_surface_normals(
     flipNormalTowardsViewpoint with the default (0,0,0) viewpoint).
     """
     count, _, cov = neighbor_moments(
-        cloud.xyz, cloud.xyz, radius, p_mask=cloud.mask, tile=tile
+        cloud.xyz, cloud.xyz, radius, p_mask=cloud.mask, tile=tile,
+        engine=engine, scan_cap=scan_cap,
     )
     lam, normal, ok = smallest_eigenpair3(cov)
 

@@ -18,10 +18,12 @@ def remove_outliers(
     radius: float,
     min_neighbors: int,
     tile: int = 1024,
+    engine: str = "auto",
+    scan_cap: int = 128,
 ) -> PointCloud:
     counts = radius_count(
         cloud.xyz, cloud.xyz, radius, p_mask=cloud.mask, tile=tile,
-        include_self=True,
+        include_self=True, engine=engine, scan_cap=scan_cap,
     )
     keep = cloud.mask & (counts >= min_neighbors)
     return PointCloud(xyz=cloud.xyz, rgb=cloud.rgb, mask=keep).park_invalid()

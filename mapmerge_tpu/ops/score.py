@@ -37,7 +37,12 @@ def transform_score(
     5%% of points grazing a floor plane; coverage exposes it.
     """
     moved = tf.apply(transform, source.xyz)
-    _, d2 = nearest_neighbor(moved, target.xyz, p_mask=target.mask, tile=tile)
+    # bound = max_range: out-of-range matches are excluded below anyway,
+    # and the bound lets large targets take the hash-grid path
+    _, d2 = nearest_neighbor(
+        moved, target.xyz, p_mask=target.mask, tile=tile,
+        bound=float(max_range),
+    )
     within = source.mask & (d2 <= jnp.float32(max_range * max_range))
     num = jnp.sum(jnp.where(within, d2, 0.0))
     cnt = jnp.sum(within)

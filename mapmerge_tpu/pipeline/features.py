@@ -15,6 +15,7 @@ import dataclasses
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 
 from mapmerge_tpu.core.cloud import PointCloud
 from mapmerge_tpu.core.params import MergeParams
@@ -34,25 +35,43 @@ class CloudFeatures:
     normals: SurfaceNormals
     keypoints: Keypoints
     descriptors: Descriptors
+    #: valid input points dropped because the voxel grid overflowed
+    #: `max_points` — nonzero means geometry was lost; surfaced as a warning
+    #: by estimate_maps_transforms (no silent caps)
+    dropped_points: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
+    #: under the grid neighbor engine: how far the fullest hash bucket
+    #: exceeds grid_scan_cap (0 = every neighbor query was exact); nonzero
+    #: means neighborhoods may have been truncated — surfaced as a warning
+    scan_overflow: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
 
 @partial(jax.jit, static_argnames=("params",))
 def extract_features(cloud: PointCloud, params: MergeParams) -> CloudFeatures:
     """Reference stage order map_merging.cpp:211-242."""
-    resized = voxel_downsample(
+    resized, dropped = voxel_downsample(
         cloud,
         params.resolution,
         # a voxel grid never grows the cloud; don't pad past the input
         out_capacity=min(cloud.capacity, params.max_points),
+        with_stats=True,
     )
+    engine = params.neighbor_engine
+    scan_cap = params.grid_scan_cap
     resized = remove_outliers(
         resized,
         params.descriptor_radius,
         params.outliers_min_neighbours,
         tile=params.neighbor_tile,
+        engine=engine,
+        scan_cap=scan_cap,
     )
     normals = compute_surface_normals(
-        resized, params.normal_radius, tile=params.neighbor_tile
+        resized, params.normal_radius, tile=params.neighbor_tile,
+        engine=engine, scan_cap=scan_cap,
     )
     keypoints = detect_keypoints(
         resized,
@@ -65,6 +84,8 @@ def extract_features(cloud: PointCloud, params: MergeParams) -> CloudFeatures:
         tile=params.neighbor_tile,
         sift_octaves=params.sift_octaves,
         sift_scales_per_octave=params.sift_scales_per_octave,
+        engine=engine,
+        scan_cap=scan_cap,
     )
     descriptors = compute_descriptors(
         resized,
@@ -74,7 +95,24 @@ def extract_features(cloud: PointCloud, params: MergeParams) -> CloudFeatures:
         params.descriptor_radius,
         max_neighbors=params.max_neighbors,
         tile=params.neighbor_tile,
+        engine=engine,
+        scan_cap=scan_cap,
     )
+    # grid-engine overflow probe: the fullest bucket of the widest-radius
+    # grid vs scan_cap (no silent neighborhood truncation)
+    from mapmerge_tpu.ops.neighbors import _resolve_engine
+
+    if _resolve_engine(engine, resized.capacity) == "grid":
+        from mapmerge_tpu.ops.grid import build_grid, max_bucket_count
+
+        probe = build_grid(
+            resized.xyz, resized.mask, params.descriptor_radius
+        )
+        scan_overflow = jnp.maximum(
+            max_bucket_count(probe) - scan_cap, 0
+        ).astype(jnp.int32)
+    else:
+        scan_overflow = jnp.zeros((), jnp.int32)
     # the reference drops keypoints whose descriptors are invalid
     # (features.cpp:118-141); masks keep the arrays aligned here
     keypoints = dataclasses.replace(
@@ -85,4 +123,6 @@ def extract_features(cloud: PointCloud, params: MergeParams) -> CloudFeatures:
         normals=normals,
         keypoints=keypoints,
         descriptors=descriptors,
+        dropped_points=dropped,
+        scan_overflow=scan_overflow,
     )

@@ -83,6 +83,32 @@ def estimate_pairs_batch(
     return jax.lax.map(one, (src_idx, tgt_idx, keys))
 
 
+def _warn_dropped(features: CloudFeatures) -> None:
+    """Surface voxel-grid overflow (geometry silently lost to `max_points`)
+    as a warning — the no-silent-caps contract."""
+    import warnings
+
+    dropped = np.asarray(features.dropped_points)
+    if dropped.sum() > 0:
+        per_cloud = ", ".join(
+            f"cloud {i}: {int(d)}" for i, d in enumerate(dropped) if d > 0
+        )
+        warnings.warn(
+            "voxel grid overflowed max_points and dropped valid points "
+            f"({per_cloud}); raise MergeParams.max_points or coarsen "
+            "resolution to keep all geometry",
+            stacklevel=3,
+        )
+    overflow = np.asarray(features.scan_overflow)
+    if overflow.max(initial=0) > 0:
+        warnings.warn(
+            "grid neighbor engine: fullest hash bucket exceeds "
+            f"grid_scan_cap by {int(overflow.max())} points — neighbor "
+            "queries may be truncated; raise MergeParams.grid_scan_cap",
+            stacklevel=3,
+        )
+
+
 def estimate_maps_transforms(
     clouds: Sequence[PointCloud],
     params: MergeParams | None = None,
@@ -112,6 +138,7 @@ def estimate_maps_transforms(
 
     batch = stack_clouds(clouds)
     features = extract_features_batch(batch, params)
+    _warn_dropped(features)
 
     # pair generation: i < j with both keypoint sets non-empty
     # (map_merging.cpp:246-254); one D2H of the keypoint counts
@@ -167,6 +194,7 @@ def _estimate_maps_transforms_sharded(
     empty = PointCloud.from_arrays(np.zeros((0, 3), np.float32), capacity=1)
     batch = stack_clouds(clouds + [empty] * (n_padded - n_real))
     features = extract_features_sharded(batch, params, mesh)
+    _warn_dropped(features)
 
     kp_counts = np.asarray(jnp.sum(features.keypoints.mask, axis=-1))
     pairs = [

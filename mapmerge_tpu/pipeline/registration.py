@@ -86,6 +86,7 @@ def estimate_transform(
             max_iterations=params.max_iterations,
             transform_epsilon=params.transform_epsilon,
             tile=params.neighbor_tile,
+            anneal=params.icp_anneal,
             # coarse-to-fine floor: one registration voxel — a looser
             # floor lets wrong-surface correspondences bias the optimum
             # (2x resolution cost ~2.4deg on 50%-overlap strips)

@@ -72,6 +72,7 @@ class MapMergeNode:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._ticks = {"compositing": 0, "discovery": 0, "estimation": 0}
+        self._stats = {"subsampled_points": 0}
 
     # ---- public thread-safe accessors (map_merge_node.h:84-120) ----
     def get_robots(self) -> list[str]:
@@ -109,6 +110,28 @@ class MapMergeNode:
             clouds.append((xyz, rgb))
         return kept, clouds
 
+    def _fit_to_capacity(self, xyz, rgb, cap: int, robot: str):
+        """Bound a raw cloud to `cap` points without silent geometry bias.
+
+        Head-truncation (`x[:cap]`) keeps whatever points happen to come
+        first in the message — a spatially biased cut. Instead take a
+        uniform random subsample (deterministic per robot + node seed) and
+        account for every dropped point in the node stats.
+        """
+        n = len(xyz)
+        if n <= cap:
+            return xyz, rgb, 0
+        rng = np.random.default_rng(
+            (hash((robot, self.seed)) & 0x7FFFFFFF) or 1
+        )
+        keep = rng.choice(n, size=cap, replace=False)
+        keep.sort()
+        return xyz[keep], None if rgb is None else rgb[keep], n - cap
+
+    def get_stats(self) -> dict:
+        with self._lock:
+            return dict(self._stats)
+
     def transforms_estimation(self) -> None:
         robots = self.get_robots()
         kept, raw = self._snapshot_clouds(robots)
@@ -116,10 +139,20 @@ class MapMergeNode:
             return
         cap = max(len(x) for x, _ in raw)
         cap = min(cap, self.params.max_points)
-        clouds = [
-            PointCloud.from_arrays(x[:cap], None if r is None else r[:cap], capacity=cap)
-            for x, r in raw
-        ]
+        clouds = []
+        dropped_total = 0
+        for robot, (x, r) in zip(kept, raw):
+            x, r, dropped = self._fit_to_capacity(x, r, cap, robot)
+            dropped_total += dropped
+            clouds.append(PointCloud.from_arrays(x, r, capacity=cap))
+        if dropped_total:
+            with self._lock:
+                self._stats["subsampled_points"] += dropped_total
+            print(
+                f"[estimation] input exceeds max_points={self.params.max_points}; "
+                f"randomly subsampled {dropped_total} points this tick",
+                flush=True,
+            )
         transforms = estimate_maps_transforms(
             clouds, self.params, seed=self.seed, mesh=self.mesh
         )

@@ -21,6 +21,8 @@ from mapmerge_tpu.pipeline.merging import estimate_maps_transforms
 from synthetic import make_scene, overlapping_views, rotation_z, se3
 from test_pipeline_e2e import small_params
 
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow' (<3 min gate)
+
 IMPLEMENTED = [
     Descriptor.FPFH,
     Descriptor.PFH,

@@ -1,0 +1,210 @@
+"""Hash-grid neighbor engine vs the exact dense engine.
+
+The dense tiled engine is the parity oracle (VERDICT r1 item 2): on clouds
+where no bucket exceeds scan_cap, every grid op must return EXACTLY the
+dense result (the grid only changes how candidates are found, not which
+ones pass the radius test).
+"""
+
+import numpy as np
+import pytest
+
+from mapmerge_tpu.ops import neighbors as dense
+from mapmerge_tpu.ops.grid import (
+    build_grid,
+    grid_gaussian_smooth,
+    grid_nearest_neighbor,
+    grid_neighbor_moments,
+    grid_radius_count,
+    grid_radius_neighbors,
+    grid_radius_reduce,
+    max_bucket_count,
+)
+
+RADIUS = 0.35
+
+
+@pytest.fixture
+def cloud(rng):
+    p = (rng.random((3000, 3)) * 4.0).astype(np.float32)
+    mask = rng.random(3000) > 0.1
+    p[~mask] = 1.0e8  # parked like PointCloud.park_invalid
+    return p, mask
+
+
+@pytest.fixture
+def queries(rng):
+    return (rng.random((500, 3)) * 4.0).astype(np.float32)
+
+
+class TestGridMatchesDense:
+    def test_radius_count(self, cloud, queries):
+        p, mask = cloud
+        got = grid_radius_count(queries, p, RADIUS, p_mask=mask)
+        want = dense.radius_count(queries, p, RADIUS, p_mask=mask)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_radius_neighbors(self, cloud, queries):
+        p, mask = cloud
+        k = 16
+        gi, gd, gv = grid_radius_neighbors(queries, p, RADIUS, k, p_mask=mask)
+        di, dd, dv = dense.radius_neighbors(queries, p, RADIUS, k, p_mask=mask)
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(dv))
+        # same neighbors in the same (distance-sorted) order, up to float
+        # rounding: dense d2 comes from the matmul identity, grid from
+        # direct subtraction — allow ulp-level differences and index swaps
+        # only between near-tied distances
+        gv = np.asarray(gv)
+        gd, dd, gi, di = map(np.asarray, (gd, dd, gi, di))
+        np.testing.assert_allclose(gd[gv], dd[gv], rtol=1e-3, atol=1e-5)
+        differs = (gi != di) & gv
+        assert np.abs(gd[differs] - dd[differs]).max(initial=0.0) < 1e-5
+
+    def test_nearest_neighbor_bounded(self, cloud, queries):
+        p, mask = cloud
+        gi, gd = grid_nearest_neighbor(queries, p, bound=RADIUS, p_mask=mask)
+        di, dd = dense.nearest_neighbor(queries, p, p_mask=mask)
+        dd = np.asarray(dd)
+        gi, di, gd = map(np.asarray, (gi, di, gd))
+        # stay clear of the bound where float rounding flips inclusion
+        within = dd <= (RADIUS * RADIUS) * 0.99
+        np.testing.assert_allclose(gd[within], dd[within], rtol=1e-3, atol=1e-5)
+        differs = (gi != di) & within
+        assert np.abs(gd[differs] - dd[differs]).max(initial=0.0) < 1e-5
+        # beyond the bound the grid reports BIG
+        assert (np.asarray(gd)[~within] > 1e11).all()
+
+    def test_radius_reduce_sum(self, cloud, queries, rng):
+        p, mask = cloud
+        vals = rng.random((3000, 4)).astype(np.float32)
+        gc, gs = grid_radius_reduce(queries, p, RADIUS, vals, p_mask=mask)
+        dc, ds = dense.radius_reduce(queries, p, RADIUS, vals, p_mask=mask)
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(dc))
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(ds), rtol=1e-5, atol=1e-4
+        )
+
+    def test_radius_reduce_max(self, cloud, queries, rng):
+        p, mask = cloud
+        vals = rng.random((3000, 2)).astype(np.float32)
+        gc, gm = grid_radius_reduce(
+            queries, p, RADIUS, vals, p_mask=mask, reduce="max"
+        )
+        dc, dm = dense.radius_reduce(
+            queries, p, RADIUS, vals, p_mask=mask, reduce="max"
+        )
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(dc))
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(dm), rtol=1e-5)
+
+    def test_neighbor_moments(self, cloud, queries):
+        p, mask = cloud
+        gc, gm, gcov = grid_neighbor_moments(queries, p, RADIUS, p_mask=mask)
+        dc, dm, dcov = dense.neighbor_moments(queries, p, RADIUS, p_mask=mask)
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(dc))
+        sel = np.asarray(dc) > 0
+        np.testing.assert_allclose(
+            np.asarray(gm)[sel], np.asarray(dm)[sel], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gcov)[sel], np.asarray(dcov)[sel], rtol=1e-3, atol=1e-5
+        )
+
+    def test_gaussian_smooth(self, cloud, queries, rng):
+        p, mask = cloud
+        vals = rng.random(3000).astype(np.float32)
+        sigmas = [0.1, 0.15, 0.2]
+        got = np.asarray(
+            grid_gaussian_smooth(queries, p, vals, sigmas, p_mask=mask)
+        )
+        # dense oracle in numpy (3*sigma_max truncation)
+        r = 3.0 * max(sigmas)
+        d2 = ((queries[:, None, :] - p[None]) ** 2).sum(-1)
+        inb = (d2 <= r * r) & mask[None, :]
+        for s_i, s in enumerate(sigmas):
+            w = np.exp(-d2 / (2 * s * s)) * inb
+            want = (w @ vals) / np.maximum(w.sum(1), 1e-12)
+            np.testing.assert_allclose(got[:, s_i], want, rtol=2e-4, atol=2e-4)
+
+
+class TestOverflowDetection:
+    def test_max_bucket_count_flags_dense_clusters(self, rng):
+        # 600 points inside one radius-sized cell -> one bucket holds ~600
+        p = (rng.random((600, 3)) * 0.2).astype(np.float32)
+        grid = build_grid(p, None, cell_size=0.3)
+        assert int(max_bucket_count(grid)) >= 500
+
+    def test_capped_scan_undercounts_but_is_detectable(self, rng):
+        p = (rng.random((600, 3)) * 0.2).astype(np.float32)
+        q = p[:8]
+        counts = np.asarray(
+            grid_radius_count(q, p, 0.3, scan_cap=32)
+        )
+        # cap was exceeded -> counts are partial, and the grid says so
+        grid = build_grid(p, None, cell_size=0.3)
+        assert int(max_bucket_count(grid)) > 32
+        assert (counts <= 32 * 27).all()
+
+
+class TestGridEdgeCases:
+    def test_empty_mask(self, queries):
+        p = np.full((100, 3), 1.0e8, np.float32)
+        mask = np.zeros(100, bool)
+        counts = np.asarray(grid_radius_count(queries, p, RADIUS, p_mask=mask))
+        assert (counts == 0).all()
+
+    def test_negative_coordinates(self, rng):
+        p = (rng.random((2000, 3)) * 6.0 - 3.0).astype(np.float32)
+        q = (rng.random((200, 3)) * 6.0 - 3.0).astype(np.float32)
+        got = np.asarray(grid_radius_count(q, p, RADIUS))
+        want = np.asarray(dense.radius_count(q, p, RADIUS))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestPipelineOnGridEngine:
+    def test_e2e_merge_grid_vs_dense(self):
+        """Full 2-map merge with the grid engine forced must recover the
+        same golden pose as the dense engine (pose-level equivalence)."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from synthetic import make_scene, overlapping_views, rotation_z, se3
+        from mapmerge_tpu.core import transforms as tf
+        from mapmerge_tpu.core.params import MergeParams
+        from mapmerge_tpu.pipeline.merging import estimate_maps_transforms
+
+        rng = np.random.default_rng(7)
+        xyz, rgb = make_scene(rng, n_boxes=6, extent=8.0, density=60.0)
+        truth = se3(rotation_z(0.4), [1.5, -0.7, 0.2])
+        va, vb = overlapping_views(
+            np.random.default_rng(3), xyz, rgb, truth, overlap=0.6
+        )
+        base = dict(
+            keypoint_type="HARRIS",
+            keypoint_threshold=5.0,
+            descriptor_type="FPFH",
+            refine_transform=True,
+            max_iterations=30,
+            max_points=8192,
+            max_keypoints=256,
+            max_neighbors=48,
+            ransac_hypotheses=512,
+            neighbor_tile=512,
+        )
+        out = {}
+        for eng in ("dense", "grid"):
+            params = MergeParams(neighbor_engine=eng, **base)
+            t = estimate_maps_transforms([va, vb], params, seed=0)
+            assert len(t) == 2
+            rel = np.linalg.inv(t[0]) @ t[1]
+            rot = float(tf.rotation_geodesic_deg(rel.astype(np.float32), truth))
+            trans = float(np.linalg.norm(rel[:3, 3] - truth[:3, 3]))
+            assert rot < 2.0 and trans < 0.15, f"{eng}: {rot} deg {trans} m"
+            out[eng] = rel
+        # both engines land on the same pose
+        delta = np.linalg.inv(out["dense"]) @ out["grid"]
+        rot = float(
+            tf.rotation_geodesic_deg(
+                delta.astype(np.float32), np.eye(4, dtype=np.float32)
+            )
+        )
+        assert rot < 0.5
+        assert np.linalg.norm(delta[:3, 3]) < 0.05

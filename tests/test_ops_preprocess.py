@@ -215,3 +215,23 @@ class TestNormals:
         pc = PointCloud.from_arrays(xyz)
         res = compute_surface_normals(pc, radius=0.5)
         assert not np.asarray(res.valid).any()
+
+
+class TestDownsampleStats:
+    def test_no_overflow_zero_dropped(self, rng):
+        from mapmerge_tpu.ops.downsample import voxel_downsample
+
+        pts = rng.random((256, 3)).astype(np.float32) * 4.0
+        pc = PointCloud.from_arrays(pts)
+        out, dropped = voxel_downsample(pc, 0.1, with_stats=True)
+        assert int(dropped) == 0
+
+    def test_overflow_counts_dropped_points(self, rng):
+        from mapmerge_tpu.ops.downsample import voxel_downsample
+
+        # 200 points spread so each lands in its own voxel; capacity 50
+        pts = (np.arange(200, dtype=np.float32)[:, None] * [1.0, 0.0, 0.0])
+        pc = PointCloud.from_arrays(pts)
+        out, dropped = voxel_downsample(pc, 0.5, out_capacity=50, with_stats=True)
+        assert int(dropped) == 150
+        assert int(out.count) == 50

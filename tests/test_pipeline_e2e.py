@@ -163,3 +163,48 @@ class TestSiftPipeline:
         trans_err = float(np.linalg.norm(rel[:3, 3] - truth[:3, 3]))
         assert rot_err < 1.0, f"rotation error {rot_err} deg"
         assert trans_err < 0.1, f"translation error {trans_err} m"
+
+
+class TestStrictParity:
+    """Strict reference-parity mode: robust_confidence=False, icp_anneal=1.0,
+    fixed-bound ICP with outlier rejection (VERDICT r1 item 6). Validates
+    that the parity path — not just the improved defaults — recovers the
+    golden pose end-to-end."""
+
+    def test_strict_parity_merge(self, scene):
+        xyz, rgb = scene
+        rng = np.random.default_rng(11)
+        truth = se3(rotation_z(0.3), [1.0, -0.4, 0.1])
+        view_a, view_b = overlapping_views(rng, xyz, rgb, truth, overlap=0.6)
+        params = MergeParams.strict_parity(
+            resolution=0.1,
+            keypoint_type=Keypoint.HARRIS,
+            keypoint_threshold=5.0,
+            descriptor_type=Descriptor.FPFH,
+            refine_transform=True,
+            max_iterations=30,
+            max_points=16384,
+            max_keypoints=256,
+            max_neighbors=48,
+            ransac_hypotheses=512,
+            neighbor_tile=512,
+        )
+        assert params.icp_anneal == 1.0 and not params.robust_confidence
+        transforms = estimate_maps_transforms([view_a, view_b], params, seed=0)
+        assert len(transforms) == 2
+        rel = np.linalg.inv(transforms[0]) @ transforms[1]
+        rot_err = float(tf.rotation_geodesic_deg(rel.astype(np.float32), truth))
+        trans_err = float(np.linalg.norm(rel[:3, 3] - truth[:3, 3]))
+        assert rot_err < 2.0, f"rotation error {rot_err} deg"
+        assert trans_err < 0.15, f"translation error {trans_err} m"
+
+
+class TestNoSilentCaps:
+    def test_downsample_overflow_warns(self, scene):
+        """A max_points cap smaller than the occupied voxel count must warn,
+        not silently drop geometry (VERDICT r1 item 4)."""
+        xyz, rgb = scene
+        pc = PointCloud.from_arrays(xyz, rgb)
+        params = small_params(max_points=512)  # far below occupied voxels
+        with pytest.warns(UserWarning, match="dropped valid points"):
+            estimate_maps_transforms([pc, pc], params, seed=0)

@@ -16,6 +16,8 @@ from mapmerge_tpu.pipeline.merging import compose_maps, estimate_maps_transforms
 from synthetic import make_scene, overlapping_views, rotation_z, se3
 from test_pipeline_e2e import small_params
 
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow' (<3 min gate)
+
 
 @pytest.fixture(scope="module")
 def mesh():
