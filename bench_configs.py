@@ -1,0 +1,426 @@
+"""Driver eval configs #2-#5 (BASELINE.json "configs"; VERDICT r1 item 3).
+
+Each config prints ONE JSON line and appends it to BENCH_configs.json:
+
+  config2: 5-map ~500k-pt all-pairs merge, 1 TPU chip (grid engine)
+  config3: 1000-hypothesis RANSAC registration on a ~2M-pt LiDAR-style map
+  config4: 20-map merge graph on the 8-device virtual CPU mesh
+           (wall-clock + 1->8 device scaling efficiency)
+  config5: 50-map online stream through MapMergeNode
+
+Every config carries an accuracy gate (bench.py:84-93 pattern): a fast
+wrong answer fails the run.
+
+Usage: python bench_configs.py config2 [config3 ...]   (no args = all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from mapmerge_tpu.utils.profiling import device_sync
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_configs.json")
+
+
+def emit(record: dict) -> None:
+    line = json.dumps(record)
+    print(line, flush=True)
+    rows = []
+    if os.path.exists(_OUT):
+        with open(_OUT) as f:
+            rows = [json.loads(l) for l in f if l.strip()]
+    rows = [r for r in rows if r.get("config") != record.get("config")]
+    rows.append(record)
+    with open(_OUT, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _pose_err(rel, truth):
+    from mapmerge_tpu.core import transforms as tf
+
+    rot = float(tf.rotation_geodesic_deg(rel.astype(np.float32), truth))
+    trans = float(np.linalg.norm(rel[:3, 3] - truth[:3, 3]))
+    return rot, trans
+
+
+def town_views(n_maps: int, view_resized_target: int, keep: float = 0.6,
+               seed: int = 42):
+    """N overlapping views of one make_town scene with known SE(3) truths.
+
+    `view_resized_target` ~ registration-resolution points per view."""
+    from synthetic import make_town, n_overlapping_views, rotation_z, se3
+
+    rng = np.random.default_rng(seed)
+    xyz, rgb = make_town(rng, int(view_resized_target / keep))
+    truths = [
+        np.eye(4, dtype=np.float32)
+        if i == 0
+        else se3(
+            rotation_z(0.15 * ((i % 7) - 3)),
+            [0.6 * (i % 5), -0.3 * (i % 4), 0.04 * (i % 3)],
+        )
+        for i in range(n_maps)
+    ]
+    views = n_overlapping_views(rng, xyz, rgb, truths, keep=keep)
+    return views, truths
+
+
+def subsample(x, r, cap: int, seed: int = 0):
+    """Uniform random subsample to `cap` (head-truncation is spatially
+    biased — make_scene emits the floor first)."""
+    if len(x) <= cap:
+        return x, r
+    keep = np.random.default_rng(seed).choice(len(x), cap, replace=False)
+    keep.sort()
+    return x[keep], None if r is None else r[keep]
+
+
+def check_chain(transforms, truths, rot_tol, trans_tol, min_ok=None):
+    """Accuracy gate: relative poses (vs the first successfully-registered
+    map as anchor) must match the ground-truth relative poses."""
+    ok_idx = [
+        i for i in range(min(len(transforms), len(truths)))
+        if np.asarray(transforms[i]).any()
+    ]
+    need = min_ok if min_ok is not None else len(truths)
+    assert ok_idx, "accuracy gate: no map registered at all"
+    a = ok_idx[0]
+    inv_ta = np.linalg.inv(transforms[a])
+    inv_truth_a = np.linalg.inv(truths[a])
+    n_ok, errs = 0, []
+    for i in ok_idx:
+        rel = inv_ta @ transforms[i]
+        truth_rel = inv_truth_a @ truths[i]
+        rot, trans = _pose_err(rel, truth_rel.astype(np.float32))
+        errs.append((rot, trans))
+        if rot < rot_tol and trans < trans_tol:
+            n_ok += 1
+    assert n_ok >= need, f"accuracy gate: only {n_ok}/{len(truths)} maps ok ({errs})"
+    return errs
+
+
+def check_adjacent(transforms, truths, rot_tol, trans_tol, min_ok):
+    """Gate on ADJACENT-pair relative poses: with N views around a circle
+    the graph is a ~N/2-hop chain, and per-hop RANSAC error accumulates
+    into end-to-end drift (the reference chains identically,
+    map_merging.cpp:177-183) — so quality is judged per hop, and the
+    end-to-end drift is reported as a metric, not gated."""
+    n_ok, errs = 0, []
+    for i in range(len(truths) - 1):
+        ta, tb = transforms[i], transforms[i + 1]
+        if not (np.asarray(ta).any() and np.asarray(tb).any()):
+            continue
+        rel = np.linalg.inv(ta) @ tb
+        truth_rel = np.linalg.inv(truths[i]) @ truths[i + 1]
+        rot, trans = _pose_err(rel, truth_rel.astype(np.float32))
+        errs.append((rot, trans))
+        if rot < rot_tol and trans < trans_tol:
+            n_ok += 1
+    assert n_ok >= min_ok, (
+        f"adjacent-pair gate: only {n_ok} pairs ok ({errs[:8]}...)"
+    )
+    return errs
+
+
+def end_to_end_drift(transforms, truths):
+    """Worst relative-pose error vs truth over registered maps (deg, m)."""
+    ok = [i for i in range(len(truths)) if np.asarray(transforms[i]).any()]
+    if len(ok) < 2:
+        return None
+    a = ok[0]
+    inv_ta = np.linalg.inv(transforms[a])
+    inv_truth_a = np.linalg.inv(truths[a])
+    worst = (0.0, 0.0)
+    for i in ok:
+        rot, trans = _pose_err(
+            inv_ta @ transforms[i],
+            (inv_truth_a @ truths[i]).astype(np.float32),
+        )
+        worst = max(worst, (rot, trans))
+    return [round(worst[0], 2), round(worst[1], 3)]
+
+
+def _big_params(max_points, engine="auto"):
+    from mapmerge_tpu.core.params import MergeParams
+
+    return MergeParams(
+        keypoint_type="HARRIS",
+        keypoint_threshold=5.0,
+        descriptor_type="FPFH",
+        refine_transform=True,
+        max_iterations=40,
+        max_points=max_points,
+        max_keypoints=1024,
+        max_neighbors=48,
+        ransac_hypotheses=1024,
+        neighbor_engine=engine,
+    )
+
+
+def config2():
+    """5-map ~500k-pt all-pairs merge on one chip (grid engine)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    from mapmerge_tpu.core.cloud import PointCloud
+    from mapmerge_tpu.pipeline.merging import estimate_maps_transforms
+
+    views, truths = town_views(5, view_resized_target=500_000)
+    sizes = [len(v[0]) for v in views]
+    cap = 1 << int(np.ceil(np.log2(max(sizes))))
+    clouds = [PointCloud.from_arrays(x, r, capacity=cap) for x, r in views]
+    # raw capacity covers the input; the registration-resolution cloud is
+    # bounded separately (resized ~500k -> 2^20 keeps padding waste low)
+    params = _big_params(min(cap, 1 << 20))
+
+    if not os.environ.get("BENCH_NO_WARMUP"):
+        estimate_maps_transforms(clouds, params, seed=0)  # compile warm-up
+    t0 = time.perf_counter()
+    transforms = estimate_maps_transforms(clouds, params, seed=0)
+    wall = time.perf_counter() - t0
+    check_chain(transforms, truths, rot_tol=2.0, trans_tol=0.3, min_ok=4)
+    emit(
+        {
+            "config": "config2_5map_500k",
+            "metric": "5-map all-pairs merge wall-clock (1 chip, warm)",
+            "cloud_points": sizes,
+            "value": round(wall, 2),
+            "unit": "s",
+            "maps_per_min": round(5 * 60.0 / wall, 2),
+        }
+    )
+
+
+def config3():
+    """1000-hypothesis RANSAC registration on a ~2M-pt LiDAR-style pair."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    from mapmerge_tpu.core.cloud import PointCloud
+    from mapmerge_tpu.pipeline.features import extract_features
+    from mapmerge_tpu.pipeline.registration import estimate_transform
+
+    views, truths = town_views(2, view_resized_target=800_000, keep=0.75, seed=9)
+    sizes = [len(v[0]) for v in views]
+    cap = 1 << int(np.ceil(np.log2(max(sizes))))
+    clouds = [PointCloud.from_arrays(x, r, capacity=cap) for x, r in views]
+    params = _big_params(1 << 20).replace(ransac_hypotheses=1024)
+
+    if not os.environ.get("BENCH_NO_WARMUP"):
+        fa = extract_features(clouds[0], params)
+        fb = extract_features(clouds[1], params)
+        device_sync(fb)
+        est = estimate_transform(fa, fb, params, jax.random.key(0))
+        device_sync(est.transform)
+
+    t0 = time.perf_counter()
+    fa = extract_features(clouds[0], params)
+    fb = extract_features(clouds[1], params)
+    est = estimate_transform(fa, fb, params, jax.random.key(0))
+    device_sync(est.transform)
+    wall = time.perf_counter() - t0
+
+    truth_rel = np.linalg.inv(truths[1]) @ truths[0]
+    rot, trans = _pose_err(np.asarray(est.transform), truth_rel.astype(np.float32))
+    assert rot < 2.0 and trans < 0.3, f"accuracy gate: {rot} deg {trans} m"
+    emit(
+        {
+            "config": "config3_2M_ransac1000",
+            "metric": "2M-pt pair registration incl. features, 1024-hypothesis "
+            "RANSAC + ICP (1 chip, warm)",
+            "cloud_points": sizes,
+            "value": round(wall, 2),
+            "unit": "s",
+            "pose_err_deg_m": [round(rot, 3), round(trans, 4)],
+        }
+    )
+
+
+def config4():
+    """20-map graph on the 8-device virtual CPU mesh + scaling efficiency.
+
+    Features are extracted once; the measured quantity is the PAIR stage
+    (the reference's sequential hot loop, map_merging.cpp:256-269) on 1 vs
+    8 mesh devices, plus a full-merge accuracy gate. Note: virtual CPU
+    devices share physical cores, so the 1->8 speedup is a lower bound on
+    real-chip scaling (MULTICHIP dryrun validates the same code path).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-cpu")
+    import jax.numpy as jnp
+
+    from mapmerge_tpu.core.cloud import PointCloud, stack_clouds
+    from mapmerge_tpu.core.params import MergeParams
+    from mapmerge_tpu.graph.merge_graph import (
+        TransformEstimate,
+        compute_global_transforms,
+    )
+    from mapmerge_tpu.parallel.mesh import make_mesh
+    from mapmerge_tpu.parallel.pair_shard import (
+        estimate_pairs_sharded,
+        extract_features_sharded,
+        pad_pairs,
+    )
+
+    n_maps = 20
+    views, truths = town_views(n_maps, view_resized_target=4096, seed=3)
+    sizes = [len(v[0]) for v in views]
+    raw_cap = 1 << int(np.ceil(np.log2(max(sizes))))
+    clouds = [
+        PointCloud.from_arrays(x, r, capacity=raw_cap) for x, r in views
+    ]
+    params = MergeParams(
+        keypoint_type="SIFT", keypoint_threshold=3.0,
+        descriptor_type="FPFH", refine_transform=False,
+        max_points=8192, max_keypoints=384, max_neighbors=32,
+        ransac_hypotheses=768, neighbor_tile=256,
+    )
+    from mapmerge_tpu.parallel.mesh import pad_to_multiple
+
+    mesh8 = make_mesh(jax.devices())
+    n_padded = pad_to_multiple(n_maps, 8)
+    empty = PointCloud.from_arrays(np.zeros((0, 3), np.float32),
+                                   capacity=raw_cap)
+    batch = stack_clouds(clouds + [empty] * (n_padded - n_maps))
+    features = extract_features_sharded(batch, params, mesh8)
+    device_sync(features)
+
+    pairs = [(i, j) for i in range(n_maps - 1) for j in range(i + 1, n_maps)]
+    src_idx, tgt_idx, n_pairs = pad_pairs(pairs, 8)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        jax.random.key(0), jnp.arange(src_idx.shape[0])
+    )
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(jax.devices()[:n_dev])
+        if n_dev == 1:
+            # features live on the 8-device mesh; the 1-device run needs
+            # them resident on its own (single-device) mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            features_n = jax.device_put(
+                features, NamedSharding(mesh, P())
+            )
+        else:
+            features_n = features
+        est = estimate_pairs_sharded(
+            features_n, src_idx, tgt_idx, params, keys, mesh
+        )  # compile + warm
+        device_sync(est.transform)
+        t0 = time.perf_counter()
+        est = estimate_pairs_sharded(
+            features_n, src_idx, tgt_idx, params, keys, mesh
+        )
+        device_sync(est.transform)
+        results[n_dev] = time.perf_counter() - t0
+
+    # accuracy gate: full graph solve from the 8-dev estimates
+    transforms_np = np.asarray(est.transform)[:n_pairs]
+    confidences = np.asarray(est.confidence)[:n_pairs]
+    estimates = [
+        TransformEstimate(source_idx=i, target_idx=j,
+                          transform=transforms_np[k],
+                          confidence=float(confidences[k]))
+        for k, (i, j) in enumerate(pairs)
+    ]
+    transforms = compute_global_transforms(estimates, params.confidence_threshold)
+    # RANSAC-only per-hop accuracy (no ICP at this stage: the measured
+    # quantity is pair-stage scaling; refined accuracy is config2/3's job)
+    hop_errs = check_adjacent(
+        transforms, truths, rot_tol=10.0, trans_tol=0.7, min_ok=14
+    )
+    drift = end_to_end_drift(transforms, truths)
+    speedup = results[1] / results[8]
+    emit(
+        {
+            "config": "config4_20map_mesh8",
+            "metric": "190-pair registration stage on 8-device virtual CPU "
+            "mesh (warm; features precomputed)",
+            "value": round(results[8], 2),
+            "unit": "s",
+            "wall_1dev": round(results[1], 2),
+            "speedup_1to8": round(speedup, 2),
+            "scaling_efficiency": round(speedup / 8.0, 3),
+            "end_to_end_drift_deg_m": drift,
+            "median_hop_err_deg_m": [
+                round(float(np.median([e[0] for e in hop_errs])), 2),
+                round(float(np.median([e[1] for e in hop_errs])), 3),
+            ],
+            "note": "virtual devices share host cores; lower bound",
+        }
+    )
+
+
+def config5():
+    """50-map online stream through MapMergeNode."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-cpu")
+    from mapmerge_tpu.core.params import MergeParams
+    from mapmerge_tpu.runtime.node import MapMergeNode
+    from mapmerge_tpu.runtime.transport import InProcTransport
+
+    views, truths = town_views(50, view_resized_target=2048, seed=5)
+    params = MergeParams(
+        keypoint_type="SIFT", keypoint_threshold=3.0,
+        descriptor_type="FPFH", refine_transform=False,
+        max_points=4096, max_keypoints=128, max_neighbors=32,
+        ransac_hypotheses=256, neighbor_tile=256,
+    )
+    transport = InProcTransport()
+    node = MapMergeNode(transport, params=params, seed=0)
+
+    t0 = time.perf_counter()
+    # stream maps in (robots joining over time), re-estimating as they come
+    batch = 10
+    est_ticks = 0
+    for start in range(0, 50, batch):
+        for i in range(start, start + batch):
+            transport.publish(f"robot_{i:02d}", views[i][0], views[i][1])
+        node.discovery()
+        node.transforms_estimation()
+        node.map_compositing()
+        est_ticks += 1
+    wall = time.perf_counter() - t0
+
+    transforms = node.get_transforms()
+    ok = sum(1 for t in transforms.values() if t.any())
+    assert len(transforms) == 50, len(transforms)
+    assert ok >= 35, f"accuracy gate: only {ok}/50 maps registered"
+    ordered = [transforms[f"robot_{i:02d}"] for i in range(50)]
+    check_adjacent(ordered, truths, rot_tol=8.0, trans_tol=0.5, min_ok=38)
+    drift = end_to_end_drift(ordered, truths)
+    merged = node.get_merged_map()
+    assert merged is not None and int(merged.count) > 1000
+    emit(
+        {
+            "config": "config5_50map_stream",
+            "metric": "50-map online stream: 5 estimation ticks x growing "
+            "robot set through MapMergeNode (CPU host loop)",
+            "value": round(wall, 2),
+            "unit": "s",
+            "maps_registered": ok,
+            "est_ticks": est_ticks,
+            "maps_per_sec": round(50.0 / wall, 3),
+            "end_to_end_drift_deg_m": drift,
+        }
+    )
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["config2", "config3", "config4", "config5"]
+    for name in which:
+        globals()[name]()

@@ -46,28 +46,53 @@ def _spfh(
     engine: str = "auto",
     scan_cap: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
-    """SPFH (P, 33) for every valid surface point + validity (P,)."""
+    """SPFH (P, 33) for every valid surface point + validity (P,).
+
+    Computed in point slabs under lax.map: the one-hot histograms are
+    (slab, M, 11) — unchunked they are (P, M, 11), which at 1M points is
+    ~6 GB of HBM (measured TPU worker crash at the 500k eval config)."""
     p_ok = cloud.mask & normals.valid
     idx, _, nmask = radius_neighbors(
         cloud.xyz, cloud.xyz, radius, max_neighbors,
         p_mask=p_ok, tile=tile, exclude_self=True,
         engine=engine, scan_cap=scan_cap,
     )
-    nbr_xyz = cloud.xyz[idx]  # (P, M, 3)
-    nbr_nrm = normals.normals[idx]
-    theta, alpha, phi, _, pair_ok = pair_features(
-        cloud.xyz[:, None, :], normals.normals[:, None, :], nbr_xyz, nbr_nrm
+
+    p = cloud.capacity
+    chunk = min(p, 32768)
+    pad = (-p) % chunk
+
+    def pad0(a):
+        return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+
+    xyz_s = pad0(cloud.xyz).reshape(-1, chunk, 3)
+    nrm_s = pad0(normals.normals).reshape(-1, chunk, 3)
+    ok_s = pad0(p_ok).reshape(-1, chunk)
+    idx_s = pad0(idx).reshape(-1, chunk, idx.shape[-1])
+    nmask_s = pad0(nmask).reshape(-1, chunk, nmask.shape[-1])
+
+    def slab(args):
+        sxyz, snrm, sok, sidx, snmask = args
+        nbr_xyz = cloud.xyz[sidx]  # (chunk, M, 3)
+        nbr_nrm = normals.normals[sidx]
+        theta, alpha, phi, _, pair_ok = pair_features(
+            sxyz[:, None, :], snrm[:, None, :], nbr_xyz, nbr_nrm
+        )
+        w = (snmask & pair_ok & sok[:, None]).astype(jnp.float32)
+        h_theta = one_hot_histogram(bin_index(theta, -_PI, _PI, _BINS), w, _BINS)
+        h_alpha = one_hot_histogram(bin_index(alpha, -1.0, 1.0, _BINS), w, _BINS)
+        h_phi = one_hot_histogram(bin_index(phi, -1.0, 1.0, _BINS), w, _BINS)
+        total = jnp.sum(w, axis=-1, keepdims=True)
+        scale = jnp.where(total > 0, 100.0 / jnp.maximum(total, 1.0), 0.0)
+        spfh = jnp.concatenate([h_theta, h_alpha, h_phi], axis=-1) * scale
+        return spfh, total[:, 0]
+
+    spfh, total = jax.lax.map(
+        slab, (xyz_s, nrm_s, ok_s, idx_s, nmask_s)
     )
-    w = (nmask & pair_ok & p_ok[:, None]).astype(jnp.float32)
-
-    h_theta = one_hot_histogram(bin_index(theta, -_PI, _PI, _BINS), w, _BINS)
-    h_alpha = one_hot_histogram(bin_index(alpha, -1.0, 1.0, _BINS), w, _BINS)
-    h_phi = one_hot_histogram(bin_index(phi, -1.0, 1.0, _BINS), w, _BINS)
-
-    total = jnp.sum(w, axis=-1, keepdims=True)
-    scale = jnp.where(total > 0, 100.0 / jnp.maximum(total, 1.0), 0.0)
-    spfh = jnp.concatenate([h_theta, h_alpha, h_phi], axis=-1) * scale
-    return spfh, p_ok & (total[:, 0] > 0)
+    spfh = spfh.reshape(-1, 3 * _BINS)[:p]
+    total = total.reshape(-1)[:p]
+    return spfh, p_ok & (total > 0)
 
 
 def compute_fpfh(

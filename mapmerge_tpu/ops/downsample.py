@@ -49,21 +49,14 @@ def voxel_downsample(
     ky = jnp.where(mask, keys[:, 1], _KEY_SENTINEL)
     kz = jnp.where(mask, keys[:, 2], _KEY_SENTINEL)
 
-    (kx, ky, kz, x, y, z, r, g, b, w) = jax.lax.sort(
-        (
-            kx,
-            ky,
-            kz,
-            cloud.xyz[:, 0],
-            cloud.xyz[:, 1],
-            cloud.xyz[:, 2],
-            cloud.rgb[:, 0],
-            cloud.rgb[:, 1],
-            cloud.rgb[:, 2],
-            mask.astype(jnp.float32),
-        ),
-        num_keys=3,
-    )
+    # lexsort the permutation, then gather the payload: sequential 2-operand
+    # sorts compile and run far faster at large N than one 10-operand
+    # lax.sort carrying xyz/rgb/mask as sort values
+    order = jnp.lexsort((kz, ky, kx))
+    kx, ky, kz = kx[order], ky[order], kz[order]
+    x, y, z = (cloud.xyz[order, c] for c in range(3))
+    r, g, b = (cloud.rgb[order, c] for c in range(3))
+    w = mask[order].astype(jnp.float32)
 
     # segment boundaries: first element, or any key component change
     prev_differs = (

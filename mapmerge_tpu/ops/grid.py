@@ -85,11 +85,13 @@ def default_dims(n: int) -> tuple[int, int, int]:
     h_target = 4096
     while h_target < min(max(n // 16, 4096), 1 << 18):
         h_target <<= 1
-    # split the exponent over three near-equal power-of-two axes
+    # robot maps are flat-ish: give z only 4 wrap cells and spend the rest
+    # on x/y — an even 3-way split wraps a 58 m map at 25 m in y (measured
+    # bucket overflow from wrap collisions), while z rarely spans 4 cells
     e = h_target.bit_length() - 1
-    ex = (e + 2) // 3
-    ey = (e - ex + 1) // 2
-    ez = e - ex - ey
+    ez = min(2, e // 3)
+    ex = (e - ez + 1) // 2
+    ey = e - ez - ex
     return (1 << ex, 1 << ey, 1 << ez)
 
 
@@ -208,10 +210,21 @@ def grid_query(
     h = grid.count.shape[0]
     nq = q.shape[0]
     c = grid.cap
+    cq = q_cap or grid.cap
 
     buckets = jnp.arange(h, dtype=jnp.int32).reshape(-1, tile)
 
-    def fn(bucket_tile):  # (B,)
+    # scan with in-place scatter of each tile's rows into the final (Q,...)
+    # outputs: a map-then-unsort would materialize (H, Cq, ...) tensors,
+    # which for wide outputs (radius_neighbors k) is GBs at 1M points
+    # (measured TPU OOM at the 500k eval config)
+    def init_leaf(default, t):
+        # dtype from the tile_fn output (scan carry must be dtype-stable)
+        return jnp.broadcast_to(
+            jnp.asarray(default, t.dtype), (nq + 1,) + t.shape[2:]
+        )
+
+    def step(carry, bucket_tile):  # (B,)
         nbr = _neighbor_buckets(bucket_tile, grid.dims)  # (B, 27)
         # dedupe ids duplicated by wrapping on tiny grids
         nbr = jnp.sort(nbr, axis=-1)
@@ -225,20 +238,28 @@ def grid_query(
         )
         cand_idx = grid.cell_idx[nbr].reshape(nbr.shape[0], 27 * c)
         q_block = qg.cell_xyz[bucket_tile]  # (B, Cq, 3)
-        return tile_fn(q_block, cand_xyz, cand_ok, cand_idx)
-
-    out = jax.lax.map(fn, buckets)  # pytree of (H/B, B, Cq, ...)
-
-    q_slots = qg.cell_idx.reshape(-1)  # (H*Cq,) original query index or nq
-
-    def unsort(leaf, default):
-        flat = leaf.reshape((h * (q_cap or grid.cap),) + leaf.shape[3:])
-        base = jnp.broadcast_to(
-            jnp.asarray(default, flat.dtype), (nq + 1,) + flat.shape[1:]
+        outs = tile_fn(q_block, cand_xyz, cand_ok, cand_idx)  # (B, Cq, ...)
+        slots = qg.cell_idx[bucket_tile].reshape(-1)  # (B*Cq,)
+        carry = jax.tree_util.tree_map(
+            lambda acc, o: acc.at[slots].set(
+                o.reshape((-1,) + o.shape[2:]), mode="drop"
+            ),
+            carry,
+            outs,
         )
-        return base.at[q_slots].set(flat, mode="drop")[:nq]
+        return carry, None
 
-    outputs = jax.tree_util.tree_map(unsort, out, out_defaults)
+    # build init from defaults; tail shapes come from a shape-eval of tile_fn
+    tail = jax.eval_shape(
+        tile_fn,
+        jax.ShapeDtypeStruct((tile, cq, 3), q.dtype),
+        jax.ShapeDtypeStruct((tile, 27 * c, 3), grid.cell_xyz.dtype),
+        jax.ShapeDtypeStruct((tile, 27 * c), bool),
+        jax.ShapeDtypeStruct((tile, 27 * c), jnp.int32),
+    )
+    init = jax.tree_util.tree_map(init_leaf, out_defaults, tail)
+    out, _ = jax.lax.scan(step, init, buckets)
+    outputs = jax.tree_util.tree_map(lambda a: a[:nq], out)
     return outputs, qg.overflow
 
 

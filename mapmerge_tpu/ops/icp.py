@@ -72,10 +72,12 @@ def icp_refine(
         dist = jnp.maximum(d_hi * jnp.float32(anneal) ** it, d_lo)
         moved = tf.apply(t, source.xyz)
         # bound = the widest correspondence distance any iteration uses;
-        # lets large targets take the hash-grid path (ops/grid.py)
+        # lets large targets take the cell-grid path (ops/grid.py). The
+        # bound is also the grid cell edge — the widest cell in the whole
+        # pipeline — so give its buckets double the default capacity
         idx, d2 = nearest_neighbor(
             moved, target.xyz, p_mask=target.mask, tile=tile,
-            bound=float(max_correspondence_distance),
+            bound=float(max_correspondence_distance), scan_cap=256,
         )
         w = (source.mask & (d2 <= dist * dist)).astype(jnp.float32)
         matched = target.xyz[idx]

@@ -118,16 +118,17 @@ def detect_keypoints_sift(
     base = float(min_scale)
     oct_cloud = cloud
     for octave in range(octaves):
+        p_oct = oct_cloud.capacity
         # spatial neighborhood for extremum tests on THIS octave's cloud
         # (pure k-NN; radius unbounded). Slot 0 is the point itself.
-        knn = min(_KNN + 1, p)
+        knn = min(_KNN + 1, p_oct)
         # dense engine: true unbounded k-NN (PCL semantics). grid engine:
         # radius-bounded k-NN — _GRID_KNN_RADIUS_SCALES octave scales cover
         # the 25 nearest on any surface denser than the octave voxel leaf
         # (sparse edges degrade to fewer neighbors, like PCL at borders)
         knn_radius = (
             _GRID_KNN_RADIUS_SCALES * base
-            if _resolve_engine(engine, p) == "grid"
+            if _resolve_engine(engine, p_oct) == "grid"
             else 1.0e6
         )
         idx, _, nmask = radius_neighbors(
@@ -164,10 +165,15 @@ def detect_keypoints_sift(
             cand_resp.append(jnp.where(keep, jnp.abs(val), -BIG))
             cand_xyz.append(oct_cloud.xyz)
         # PCL downsamples the cloud between octaves (VoxelGrid, leaf =
-        # 2 * octave scale) — next octave runs on the coarser cloud
+        # 2 * octave scale) — next octave runs on the coarser cloud. The
+        # octave capacity SHRINKS to a third: a surface occupies <= 1/4 of
+        # the previous voxel count after doubling the leaf (area / leaf^2),
+        # and the dense per-octave passes are O(P^2) — running every octave
+        # at full capacity tripled the SIFT stage for nothing (profiled).
         if octave < octaves - 1:
             oct_cloud = voxel_downsample(
-                oct_cloud, 2.0 * base, out_capacity=p
+                oct_cloud, 2.0 * base,
+                out_capacity=max(p_oct // 3, min(2048, p_oct)),
             )
         base *= 2.0
 

@@ -26,15 +26,21 @@ from mapmerge_tpu.core.cloud import FAR
 #: squared-distance value used to exclude masked pairs
 BIG = 1.0e12
 
-#: point count above which "auto" switches from the dense O(Q*P) engine to
-#: the hash-grid engine (ops/grid.py) for radius-bounded queries
-GRID_AUTO_THRESHOLD = 49152
+#: capacity above which "auto" switches radius queries from the dense
+#: O(Q*P) engine to the cell-grid engine (ops/grid.py). Measured on a v5e
+#: chip: dense radius passes (MXU matmul slabs) still win at 65k capacity
+#: (0.8 s vs 2.7 s per feature stage); the grid wins once the quadratic
+#: slab traffic dominates
+GRID_AUTO_THRESHOLD = 131072
+#: bounded 1-NN switches earlier: the grid NN scan beat the dense/Pallas
+#: sweep 4.7x at 65k capacity (ICP correspondence + transform score)
+GRID_NN_THRESHOLD = 49152
 
 
-def _resolve_engine(engine: str, p_count: int) -> str:
+def _resolve_engine(engine: str, p_count: int, threshold: int | None = None) -> str:
     """'auto' -> dense for small clouds (exact oracle, no caps), grid past
-    GRID_AUTO_THRESHOLD where dense HBM traffic becomes the wall. Env
-    MAPMERGE_ENGINE=dense|grid forces one engine everywhere."""
+    the op-specific threshold where dense HBM traffic becomes the wall.
+    Env MAPMERGE_ENGINE=dense|grid forces one engine everywhere."""
     import os
 
     forced = os.environ.get("MAPMERGE_ENGINE", "")
@@ -42,7 +48,8 @@ def _resolve_engine(engine: str, p_count: int) -> str:
         return forced
     if engine != "auto":
         return engine
-    return "grid" if p_count >= GRID_AUTO_THRESHOLD else "dense"
+    cut = GRID_AUTO_THRESHOLD if threshold is None else threshold
+    return "grid" if p_count >= cut else "dense"
 
 
 def _center(q: jax.Array, p: jax.Array, p_mask: jax.Array | None):
@@ -223,7 +230,9 @@ def nearest_neighbor(
     A bound is required for the grid engine; without one, large clouds
     stay on the dense path.
     """
-    if bound is not None and _resolve_engine(engine, p.shape[0]) == "grid":
+    if bound is not None and (
+        _resolve_engine(engine, p.shape[0], GRID_NN_THRESHOLD) == "grid"
+    ):
         from mapmerge_tpu.ops.grid import grid_nearest_neighbor
 
         return grid_nearest_neighbor(

@@ -41,7 +41,7 @@ def transform_score(
     # and the bound lets large targets take the hash-grid path
     _, d2 = nearest_neighbor(
         moved, target.xyz, p_mask=target.mask, tile=tile,
-        bound=float(max_range),
+        bound=float(max_range), scan_cap=256,
     )
     within = source.mask & (d2 <= jnp.float32(max_range * max_range))
     num = jnp.sum(jnp.where(within, d2, 0.0))

@@ -49,6 +49,111 @@ class CloudFeatures:
     )
 
 
+#: capacity above which the feature stage runs as separately-jitted stages
+#: instead of one fused program: XLA's scheduling of the fused program keeps
+#: enough intermediates live to crash the TPU worker at ~1M-point capacity
+#: (measured), while the same stages run fine one jit at a time
+STAGED_THRESHOLD = 1 << 19
+
+
+def extract_features_staged(
+    cloud: PointCloud, params: MergeParams
+) -> CloudFeatures:
+    """extract_features with each stage its own jit (big-cloud path).
+
+    Identical math to extract_features; intermediates of one stage are
+    released before the next compiles/runs, bounding peak HBM."""
+    resized, dropped = _jit_downsample(cloud, params)
+    resized = _jit_outliers(resized, params)
+    normals = _jit_normals(resized, params)
+    keypoints = _jit_keypoints(resized, normals, params)
+    descriptors = _jit_descriptors(resized, normals, keypoints, params)
+    keypoints = dataclasses.replace(
+        keypoints, mask=keypoints.mask & descriptors.valid
+    )
+    scan_overflow = _jit_overflow_probe(resized, params)
+    return CloudFeatures(
+        cloud=resized,
+        normals=normals,
+        keypoints=keypoints,
+        descriptors=descriptors,
+        dropped_points=dropped,
+        scan_overflow=scan_overflow,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _jit_downsample(cloud, params):
+    return voxel_downsample(
+        cloud, params.resolution,
+        out_capacity=min(cloud.capacity, params.max_points),
+        with_stats=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _jit_outliers(resized, params):
+    return remove_outliers(
+        resized, params.descriptor_radius, params.outliers_min_neighbours,
+        tile=params.neighbor_tile, engine=params.neighbor_engine,
+        scan_cap=params.grid_scan_cap,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _jit_normals(resized, params):
+    return compute_surface_normals(
+        resized, params.normal_radius, tile=params.neighbor_tile,
+        engine=params.neighbor_engine, scan_cap=params.grid_scan_cap,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _jit_keypoints(resized, normals, params):
+    return detect_keypoints(
+        resized, normals, params.keypoint_type,
+        threshold=params.keypoint_threshold,
+        radius=params.normal_radius,
+        resolution=params.resolution,
+        max_keypoints=params.max_keypoints,
+        tile=params.neighbor_tile,
+        sift_octaves=params.sift_octaves,
+        sift_scales_per_octave=params.sift_scales_per_octave,
+        engine=params.neighbor_engine,
+        scan_cap=params.grid_scan_cap,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _jit_descriptors(resized, normals, keypoints, params):
+    return compute_descriptors(
+        resized, normals, keypoints, params.descriptor_type,
+        params.descriptor_radius, max_neighbors=params.max_neighbors,
+        tile=params.neighbor_tile, engine=params.neighbor_engine,
+        scan_cap=params.grid_scan_cap,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _jit_overflow_probe(resized, params):
+    from mapmerge_tpu.ops.neighbors import _resolve_engine
+
+    if _resolve_engine(params.neighbor_engine, resized.capacity) == "grid":
+        from mapmerge_tpu.ops.grid import build_grid, max_bucket_count
+
+        probe_f = build_grid(
+            resized.xyz, resized.mask, params.descriptor_radius
+        )
+        probe_r = build_grid(
+            resized.xyz, resized.mask, params.max_correspondence_distance
+        )
+        return jnp.maximum(
+            jnp.maximum(max_bucket_count(probe_f) - params.grid_scan_cap, 0),
+            jnp.maximum(max_bucket_count(probe_r) - 256, 0),
+        ).astype(jnp.int32)
+    return jnp.zeros((), jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("params",))
 def extract_features(cloud: PointCloud, params: MergeParams) -> CloudFeatures:
     """Reference stage order map_merging.cpp:211-242."""
@@ -105,11 +210,18 @@ def extract_features(cloud: PointCloud, params: MergeParams) -> CloudFeatures:
     if _resolve_engine(engine, resized.capacity) == "grid":
         from mapmerge_tpu.ops.grid import build_grid, max_bucket_count
 
-        probe = build_grid(
+        # widest feature-stage cell (descriptor radius) vs scan_cap, and
+        # widest registration cell (ICP/score bound, which ops/icp.py and
+        # ops/score.py scan with capacity 256)
+        probe_f = build_grid(
             resized.xyz, resized.mask, params.descriptor_radius
         )
+        probe_r = build_grid(
+            resized.xyz, resized.mask, params.max_correspondence_distance
+        )
         scan_overflow = jnp.maximum(
-            max_bucket_count(probe) - scan_cap, 0
+            jnp.maximum(max_bucket_count(probe_f) - scan_cap, 0),
+            jnp.maximum(max_bucket_count(probe_r) - 256, 0),
         ).astype(jnp.int32)
     else:
         scan_overflow = jnp.zeros((), jnp.int32)

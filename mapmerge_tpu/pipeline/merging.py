@@ -83,12 +83,25 @@ def estimate_pairs_batch(
     return jax.lax.map(one, (src_idx, tgt_idx, keys))
 
 
+def _fetch(x) -> np.ndarray:
+    """Device array -> host numpy, multi-process safe.
+
+    Arrays sharded over a multi-host mesh span non-addressable devices;
+    np.asarray raises there — gather them to every host first (the DCN
+    collective the SURVEY §2c graph-reduction row calls for)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _warn_dropped(features: CloudFeatures) -> None:
     """Surface voxel-grid overflow (geometry silently lost to `max_points`)
     as a warning — the no-silent-caps contract."""
     import warnings
 
-    dropped = np.asarray(features.dropped_points)
+    dropped = _fetch(features.dropped_points)
     if dropped.sum() > 0:
         per_cloud = ", ".join(
             f"cloud {i}: {int(d)}" for i, d in enumerate(dropped) if d > 0
@@ -99,7 +112,7 @@ def _warn_dropped(features: CloudFeatures) -> None:
             "resolution to keep all geometry",
             stacklevel=3,
         )
-    overflow = np.asarray(features.scan_overflow)
+    overflow = _fetch(features.scan_overflow)
     if overflow.max(initial=0) > 0:
         warnings.warn(
             "grid neighbor engine: fullest hash bucket exceeds "
@@ -136,8 +149,29 @@ def estimate_maps_transforms(
     if mesh is not None:
         return _estimate_maps_transforms_sharded(clouds, params, seed, mesh)
 
-    batch = stack_clouds(clouds)
-    features = extract_features_batch(batch, params)
+    from mapmerge_tpu.pipeline.features import (
+        STAGED_THRESHOLD,
+        extract_features_staged,
+    )
+
+    big = max(c.capacity for c in clouds) >= STAGED_THRESHOLD
+    if big:
+        # big-cloud path: per-stage jits per cloud + per-pair registration
+        # (one fused program at ~1M capacity exceeds TPU HBM — see
+        # features.STAGED_THRESHOLD)
+        from mapmerge_tpu.core.cloud import pad_cloud
+
+        cap = max(c.capacity for c in clouds)
+        feature_list = [
+            extract_features_staged(pad_cloud(c, cap), params)
+            for c in clouds
+        ]
+        features = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *feature_list
+        )
+    else:
+        batch = stack_clouds(clouds)
+        features = extract_features_batch(batch, params)
     _warn_dropped(features)
 
     # pair generation: i < j with both keypoint sets non-empty
@@ -155,12 +189,20 @@ def estimate_maps_transforms(
         # the empty list its nodes_count=0 path implies)
         return []
 
-    src_idx = jnp.asarray([p[0] for p in pairs], jnp.int32)
-    tgt_idx = jnp.asarray([p[1] for p in pairs], jnp.int32)
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
         jax.random.key(seed), jnp.arange(len(pairs))
     )
-    est = estimate_pairs_batch(features, src_idx, tgt_idx, params, keys)
+    if big:
+        jit_pair = jax.jit(estimate_transform, static_argnames=("params",))
+        ests = [
+            jit_pair(feature_list[i], feature_list[j], params, keys[k])
+            for k, (i, j) in enumerate(pairs)
+        ]
+        est = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ests)
+    else:
+        src_idx = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        tgt_idx = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        est = estimate_pairs_batch(features, src_idx, tgt_idx, params, keys)
 
     transforms = np.asarray(est.transform)
     confidences = np.asarray(est.confidence)
@@ -196,7 +238,7 @@ def _estimate_maps_transforms_sharded(
     features = extract_features_sharded(batch, params, mesh)
     _warn_dropped(features)
 
-    kp_counts = np.asarray(jnp.sum(features.keypoints.mask, axis=-1))
+    kp_counts = _fetch(jnp.sum(features.keypoints.mask, axis=-1))
     pairs = [
         (i, j)
         for i in range(n_real - 1)
@@ -212,8 +254,8 @@ def _estimate_maps_transforms_sharded(
     )
     est = estimate_pairs_sharded(features, src_idx, tgt_idx, params, keys, mesh)
 
-    transforms = np.asarray(est.transform)[:n_pairs]
-    confidences = np.asarray(est.confidence)[:n_pairs]
+    transforms = _fetch(est.transform)[:n_pairs]
+    confidences = _fetch(est.confidence)[:n_pairs]
     estimates = [
         TransformEstimate(
             source_idx=i,

@@ -26,15 +26,32 @@ class StageTimes:
         t0 = time.perf_counter()
         yield
         if result_holder:
-            jax.block_until_ready(result_holder)
+            device_sync(result_holder)
         dt = time.perf_counter() - t0
         self.times[name] = self.times.get(name, 0.0) + dt
         print(f"[stage] {name}: {dt * 1000.0:.1f} ms", flush=True)
 
     def block(self, value: Any) -> Any:
         """Block on a pytree so the enclosing stage measures device time."""
-        jax.block_until_ready(value)
+        device_sync(value)
         return value
+
+
+def device_sync(tree: Any) -> Any:
+    """Hard completion barrier: host-transfer one reduced scalar per leaf.
+
+    jax.block_until_ready is NOT a reliable barrier on the experimental
+    axon TPU relay (measured: it returns before execution finishes, making
+    naive timings dispatch-only). A D2H transfer of a reduction result is.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "dtype"):
+            as_f = leaf.astype(jnp.float32) if leaf.dtype == bool else leaf
+            np.asarray(jnp.sum(as_f))
+    return tree
 
 
 @contextlib.contextmanager

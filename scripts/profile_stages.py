@@ -8,6 +8,11 @@ from __future__ import annotations
 
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,14 +20,21 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
 
+def _sync(out):
+    """Force completion. On the axon TPU relay, block_until_ready returns
+    before execution finishes (experimental platform) — a host transfer of
+    one reduced scalar per leaf is the reliable barrier."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jnp.sum(leaf.astype(jnp.float32) if leaf.dtype == bool else leaf))
+    return out
+
+
 def timeit(fn, *args, reps=5, warm=1):
     for _ in range(warm):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = _sync(fn(*args))
     return (time.perf_counter() - t0) / reps, out
 
 

@@ -21,11 +21,12 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
-from synthetic import make_scene, overlapping_views, rotation_z, se3  # noqa: E402
+from synthetic import make_town, overlapping_views, rotation_z, se3  # noqa: E402
 
 from mapmerge_tpu.core import transforms as tf  # noqa: E402
 from mapmerge_tpu.core.cloud import PointCloud  # noqa: E402
 from mapmerge_tpu.core.params import MergeParams  # noqa: E402
+from mapmerge_tpu.utils.profiling import device_sync  # noqa: E402
 
 
 def main():
@@ -33,13 +34,10 @@ def main():
     engine = sys.argv[2] if len(sys.argv) > 2 else "grid"
     print(f"devices: {jax.devices()}  target={n_target}  engine={engine}")
 
-    # scene dense enough that the downsampled cloud still has ~n_target pts:
-    # resolution 0.1 -> need extent^2 * (1/0.01) * surface_fill ~ n_target
+    # make_town sizes the surface area so voxel-downsampling at 0.1 m
+    # yields ~n_target points per view (tests/synthetic.py)
     rng = np.random.default_rng(42)
-    extent = max(12.0, (n_target / 900.0) ** 0.5)
-    xyz, rgb = make_scene(
-        rng, n_boxes=int(extent * 1.5), extent=extent, density=260.0
-    )
+    xyz, rgb = make_town(rng, int(n_target / 0.8))
     truth = se3(rotation_z(0.3), [1.0, -0.5, 0.1])
     va, vb = overlapping_views(
         np.random.default_rng(3), xyz, rgb, truth, overlap=0.6
@@ -67,13 +65,13 @@ def main():
     def run_once(tag):
         t0 = time.perf_counter()
         fa = extract_features(va, params)
-        jax.block_until_ready(fa.keypoints.xyz)
+        device_sync(fa)
         t1 = time.perf_counter()
         fb = extract_features(vb, params)
-        jax.block_until_ready(fb.keypoints.xyz)
+        device_sync(fb)
         t2 = time.perf_counter()
         est = estimate_transform(fa, fb, params, jax.random.key(0))
-        jax.block_until_ready(est.transform)
+        device_sync(est.transform)
         t3 = time.perf_counter()
         print(
             f"[{tag}] features_a={t1-t0:.2f}s features_b={t2-t1:.2f}s "

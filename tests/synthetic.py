@@ -124,3 +124,94 @@ def overlapping_views(
         PointCloud.from_arrays(a_xyz, a_rgb, capacity=cap),
         PointCloud.from_arrays(b_local.astype(np.float32), b_rgb, capacity=cap),
     )
+
+
+def _yaw(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def make_town(
+    rng: np.random.Generator,
+    n_resized_target: int,
+    resolution: float = 0.1,
+    raw_density: float = 260.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Scene sized so that voxel-downsampling at `resolution` yields roughly
+    `n_resized_target` points: total surface area ~ target / (1/res^2).
+
+    Boxes get a random yaw and a random color tint — axis-aligned
+    identically-colored boxes make corner descriptors ambiguous (measured
+    gross misregistration on repetitive fixtures), which tests the fixture,
+    not the pipeline.
+    """
+    area_target = n_resized_target * resolution * resolution  # m^2 of surface
+    extent = float(np.sqrt(area_target * 0.4))  # floor ~ 40% of the surface
+    pts, cols = [], []
+    nf = int(extent * extent * raw_density)
+    floor = np.empty((nf, 3), np.float32)
+    floor[:, 0] = rng.random(nf) * extent
+    floor[:, 1] = rng.random(nf) * extent
+    floor[:, 2] = 0.0
+    pts.append(floor)
+    cols.append(np.full((nf, 3), 0.4, np.float32))
+
+    # boxes until their surface covers ~60% of the area budget. Box edges
+    # must exceed the Harris non-max-suppression diameter (2 * normal
+    # radius = 1.2 m at defaults) for several corners per box to survive —
+    # smaller boxes yield ~1 keypoint each and views cannot register
+    box_area = 0.0
+    while box_area < area_target * 0.6:
+        size = (
+            0.9 + rng.random() * 1.2,
+            0.9 + rng.random() * 1.2,
+            0.7 + rng.random() * 1.2,
+        )
+        center = (
+            1.0 + rng.random() * (extent - 2.0),
+            1.0 + rng.random() * (extent - 2.0),
+            size[2] / 2,
+        )
+        p, c = _sample_box_surface(rng, (0.0, 0.0, center[2]), size, raw_density)
+        # drop the bottom face: it coincides with the floor plane, doubling
+        # local surface density (grid bucket overflow) and no real scanner
+        # sees box undersides anyway
+        keep = p[:, 2] > 0.02
+        p, c = p[keep], c[keep]
+        r = _yaw(rng.random() * np.pi)
+        p = p @ r.T
+        p[:, 0] += center[0]
+        p[:, 1] += center[1]
+        c = 0.3 * c + 0.7 * rng.random(3).astype(np.float32)
+        pts.append(p.astype(np.float32))
+        cols.append(c.astype(np.float32))
+        sx, sy, sz = size
+        box_area += 2 * (sx * sy + sx * sz + sy * sz)
+    return np.concatenate(pts), np.concatenate(cols)
+
+
+def n_overlapping_views(
+    rng: np.random.Generator,
+    xyz: np.ndarray,
+    rgb: np.ndarray,
+    truths: list[np.ndarray],
+    keep: float = 0.6,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """N views of one scene, each a directional crop keeping `keep` of the
+    points, expressed in its own frame (world = truth_i @ local) — the
+    'N robots in one warehouse' fixture. Crop directions are evenly spaced
+    around the circle (small jitter), so neighboring views overlap heavily
+    and every map has strong graph edges; fully random directions leave
+    some maps with only low-overlap (false-edge-prone) pairs."""
+    views = []
+    n = len(truths)
+    for i, truth in enumerate(truths):
+        ang = 2.0 * np.pi * i / max(n, 1) + rng.normal() * 0.1
+        u = np.array([np.cos(ang), np.sin(ang)])
+        proj = xyz[:, 0] * u[0] + xyz[:, 1] * u[1]
+        cut = np.quantile(proj, 1.0 - keep)
+        m = proj >= cut
+        inv = np.linalg.inv(truth)
+        v = xyz[m] @ inv[:3, :3].T + inv[:3, 3]
+        views.append((v.astype(np.float32), rgb[m]))
+    return views
