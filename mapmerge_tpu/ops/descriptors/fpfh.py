@@ -14,7 +14,13 @@ shared Darboux core, and histograms are one-hot matmuls. PCL semantics kept:
   (1/d_j) SPFH_j, then each 11-bin block renormalized to 100 (PCL's
   weightPointSPFHSignature, which skips zero-distance self hits);
 - descriptors with empty neighborhoods are invalid (the reference drops
-  them with their keypoints, features.cpp:118-141; we mask).
+  them with their keypoints, features.cpp:118-141; we mask);
+- SPFH is computed ONLY at the keypoints' neighbor points — exactly PCL's
+  computeSPFHSignatures optimization (it collects the distinct neighbor
+  set of the requested indices, fpfh.hpp): K*M queries instead of P.
+  At the 500k eval config that is ~50k SPFH evaluations instead of 420k
+  (duplicated neighbors recompute; a fixed-shape program cannot dedupe,
+  and the waste is far below the 8x saving).
 """
 
 from __future__ import annotations
@@ -37,7 +43,10 @@ _BINS = 11
 _PI = float(jnp.pi)
 
 
-def _spfh(
+def _spfh_at(
+    q_xyz: jax.Array,
+    q_nrm: jax.Array,
+    q_ok: jax.Array,
     cloud: PointCloud,
     normals: SurfaceNormals,
     radius: float,
@@ -46,28 +55,34 @@ def _spfh(
     engine: str = "auto",
     scan_cap: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
-    """SPFH (P, 33) for every valid surface point + validity (P,).
+    """SPFH (Q, 33) at the given oriented query points + validity (Q,).
 
-    Computed in point slabs under lax.map: the one-hot histograms are
-    (slab, M, 11) — unchunked they are (P, M, 11), which at 1M points is
-    ~6 GB of HBM (measured TPU worker crash at the 500k eval config)."""
+    Computed in slabs under lax.map: the one-hot histograms are
+    (slab, M, 11) — unchunked at large Q they are GBs of HBM (measured TPU
+    worker crash at the 500k eval config)."""
     p_ok = cloud.mask & normals.valid
-    idx, _, nmask = radius_neighbors(
-        cloud.xyz, cloud.xyz, radius, max_neighbors,
-        p_mask=p_ok, tile=tile, exclude_self=True,
-        engine=engine, scan_cap=scan_cap,
+    idx, d2, nmask = radius_neighbors(
+        q_xyz, cloud.xyz, radius, max_neighbors,
+        p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
     )
+    # the query is drawn from the cloud: exclude its own zero-distance hit
+    # (PCL SPFH pairs each point with its neighbors, not itself)
+    nmask = nmask & (d2 > 1e-12)
 
-    p = cloud.capacity
-    chunk = min(p, 32768)
-    pad = (-p) % chunk
+    q = q_xyz.shape[0]
+    chunk = min(q, 32768)
+    pad = (-q) % chunk
 
     def pad0(a):
-        return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+        return (
+            jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            if pad
+            else a
+        )
 
-    xyz_s = pad0(cloud.xyz).reshape(-1, chunk, 3)
-    nrm_s = pad0(normals.normals).reshape(-1, chunk, 3)
-    ok_s = pad0(p_ok).reshape(-1, chunk)
+    xyz_s = pad0(q_xyz).reshape(-1, chunk, 3)
+    nrm_s = pad0(q_nrm).reshape(-1, chunk, 3)
+    ok_s = pad0(q_ok).reshape(-1, chunk)
     idx_s = pad0(idx).reshape(-1, chunk, idx.shape[-1])
     nmask_s = pad0(nmask).reshape(-1, chunk, nmask.shape[-1])
 
@@ -87,12 +102,10 @@ def _spfh(
         spfh = jnp.concatenate([h_theta, h_alpha, h_phi], axis=-1) * scale
         return spfh, total[:, 0]
 
-    spfh, total = jax.lax.map(
-        slab, (xyz_s, nrm_s, ok_s, idx_s, nmask_s)
-    )
-    spfh = spfh.reshape(-1, 3 * _BINS)[:p]
-    total = total.reshape(-1)[:p]
-    return spfh, p_ok & (total > 0)
+    spfh, total = jax.lax.map(slab, (xyz_s, nrm_s, ok_s, idx_s, nmask_s))
+    spfh = spfh.reshape(-1, 3 * _BINS)[:q]
+    total = total.reshape(-1)[:q]
+    return spfh, q_ok & (total > 0)
 
 
 def compute_fpfh(
@@ -108,23 +121,32 @@ def compute_fpfh(
     """FPFH-33 at each keypoint over the full-resolution search surface
     (reference features.cpp:99-150 template instantiated with
     pcl::FPFHEstimation)."""
-    spfh, spfh_ok = _spfh(
-        cloud, normals, radius, max_neighbors, tile, engine, scan_cap
-    )
-
+    p_ok = cloud.mask & normals.valid
     idx, d2, nmask = radius_neighbors(
         keypoints.xyz, cloud.xyz, radius, max_neighbors,
-        p_mask=cloud.mask & normals.valid, tile=tile,
-        engine=engine, scan_cap=scan_cap,
+        p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
+    )  # (K, M) keypoint neighborhoods
+
+    # SPFH only at the gathered neighbor points (PCL computeSPFHSignatures)
+    flat_idx = idx.reshape(-1)  # (K*M,)
+    q_xyz = cloud.xyz[flat_idx]
+    q_nrm = normals.normals[flat_idx]
+    q_ok = p_ok[flat_idx] & nmask.reshape(-1)
+    spfh_flat, spfh_ok_flat = _spfh_at(
+        q_xyz, q_nrm, q_ok, cloud, normals, radius, max_neighbors, tile,
+        engine, scan_cap,
     )
+    spfh = spfh_flat.reshape(idx.shape[0], idx.shape[1], 3 * _BINS)
+    spfh_ok = spfh_ok_flat.reshape(idx.shape)
+
     dist = jnp.sqrt(jnp.maximum(d2, 0.0))
     w = jnp.where(
-        nmask & spfh_ok[idx] & (dist > 1e-9) & keypoints.mask[:, None],
+        nmask & spfh_ok & (dist > 1e-9) & keypoints.mask[:, None],
         1.0 / jnp.maximum(dist, 1e-9),
         0.0,
     )  # (K, M)
     fpfh = jnp.einsum(
-        "km,kmd->kd", w, spfh[idx], precision=jax.lax.Precision.HIGHEST
+        "km,kmd->kd", w, spfh, precision=jax.lax.Precision.HIGHEST
     )
 
     # renormalize each 11-bin block to sum 100

@@ -58,38 +58,13 @@ def build_config1():
 
 
 def build_config2():
-    """Eval config #2: 5-map ~500k-pt all-pairs merge."""
-    rng = np.random.default_rng(42)
-    xyz, rgb = make_scene(rng, n_boxes=60, extent=40.0, density=400.0)
-    n_maps = 5
-    views, truths = [], []
-    prev = np.eye(4, dtype=np.float32)
-    for i in range(n_maps):
-        truth = (
-            np.eye(4, dtype=np.float32)
-            if i == 0
-            else se3(rotation_z(0.15 * i), [0.8 * i, -0.3 * i, 0.05 * i])
-        )
-        truths.append(truth)
-    base = None
-    vrng = np.random.default_rng(5)
-    # strip views along x with ~50% pairwise overlap between consecutive maps
-    lo, hi = xyz[:, 0].min(), xyz[:, 0].max()
-    width = (hi - lo) / (n_maps * 0.6 + 0.4)
-    clouds = []
-    for i in range(n_maps):
-        a = lo + i * 0.6 * width
-        b = a + width
-        m = (xyz[:, 0] >= a) & (xyz[:, 0] <= b)
-        v_xyz = xyz[m]
-        v_rgb = rgb[m]
-        inv = np.linalg.inv(truths[i])
-        v_xyz = v_xyz @ inv[:3, :3].T + inv[:3, 3]
-        clouds.append((v_xyz.astype(np.float32), v_rgb.astype(np.float32)))
-    from bench import bench_params
+    """Eval config #2: 5-map ~500k-pt all-pairs merge — the same town fixture
+    and params bench_configs.config2 runs on TPU."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench_configs import town_views, _big_params
 
-    params = bench_params()
-    return clouds, truths, params
+    views, truths = town_views(5, view_resized_target=500_000)
+    return views, truths, _big_params(1 << 20)
 
 
 def run(name: str, builder):
