@@ -364,6 +364,21 @@ def grid_nearest_neighbor(
     `bound`. Exact for every consumer that discards matches beyond a known
     bound (ICP's max_correspondence_distance, transformScore's max_range)."""
     grid = build_grid(p, p_mask, bound, dims, scan_cap)
+    return grid_nn_query(grid, q, p.shape[0], tile=tile)
+
+
+def grid_nn_query(
+    grid: CellGrid,
+    q: jax.Array,
+    n_p: int,
+    tile: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Bounded 1-NN against a PREBUILT grid (cell edge = the bound).
+
+    Lets iterative consumers (ICP: the target never moves) build the
+    target grid once outside their loop instead of re-sorting every
+    iteration."""
+    bound = grid.cell_size
     r2 = jnp.float32(bound * bound)
 
     def tile_fn(q_block, cand_xyz, cand_ok, cand_idx):
@@ -380,7 +395,7 @@ def grid_nearest_neighbor(
     (idx, best), _ = grid_query(
         q, grid, tile_fn, (jnp.int32(0), jnp.float32(BIG)), tile=tile
     )
-    idx = jnp.where(idx >= p.shape[0], 0, idx)
+    idx = jnp.where(idx >= n_p, 0, idx)
     return idx, best
 
 

@@ -67,18 +67,35 @@ def icp_refine(
     )
     reject2 = jnp.float32(outlier_rejection_threshold) ** 2
 
+    # the target never moves: under the cell-grid engine, build its grid
+    # ONCE here instead of re-sorting it every while_loop iteration. The
+    # bound is the widest cell in the whole pipeline — double capacity.
+    from mapmerge_tpu.ops.neighbors import GRID_NN_THRESHOLD, _resolve_engine
+
+    use_grid = (
+        _resolve_engine("auto", target.capacity, GRID_NN_THRESHOLD) == "grid"
+    )
+    if use_grid:
+        from mapmerge_tpu.ops.grid import build_grid, grid_nn_query
+
+        target_grid = build_grid(
+            target.xyz, target.mask,
+            float(max_correspondence_distance), cap=256,
+        )
+
+    def _nn(moved):
+        if use_grid:
+            return grid_nn_query(target_grid, moved, target.capacity)
+        return nearest_neighbor(
+            moved, target.xyz, p_mask=target.mask, tile=tile,
+            bound=float(max_correspondence_distance), scan_cap=256,
+        )
+
     def step(state):
         t, _, it, _, ever_ok, prev_mse = state
         dist = jnp.maximum(d_hi * jnp.float32(anneal) ** it, d_lo)
         moved = tf.apply(t, source.xyz)
-        # bound = the widest correspondence distance any iteration uses;
-        # lets large targets take the cell-grid path (ops/grid.py). The
-        # bound is also the grid cell edge — the widest cell in the whole
-        # pipeline — so give its buckets double the default capacity
-        idx, d2 = nearest_neighbor(
-            moved, target.xyz, p_mask=target.mask, tile=tile,
-            bound=float(max_correspondence_distance), scan_cap=256,
-        )
+        idx, d2 = _nn(moved)
         w = (source.mask & (d2 <= dist * dist)).astype(jnp.float32)
         matched = target.xyz[idx]
         delta, ok = kabsch(moved, matched, w)
