@@ -5,9 +5,7 @@ dispatch_descriptors.h:40, FPFHSignature33): Simplified Point Feature
 Histograms per surface point, then distance-weighted aggregation over each
 keypoint's neighborhood.
 
-Shapes are fixed: neighborhoods are the capped radius gather
-(ops/neighbors.radius_neighbors, nearest-first), pair features come from the
-shared Darboux core, and histograms are one-hot matmuls. PCL semantics kept:
+PCL semantics kept:
 - SPFH sub-histograms (11 bins each for theta/alpha/phi) normalized to
   sum 100 over the neighborhood;
 - FPFH(keypoint) = sum over its surface neighbors j (distance > 0) of
@@ -16,11 +14,22 @@ shared Darboux core, and histograms are one-hot matmuls. PCL semantics kept:
 - descriptors with empty neighborhoods are invalid (the reference drops
   them with their keypoints, features.cpp:118-141; we mask);
 - SPFH is computed ONLY at the keypoints' neighbor points — exactly PCL's
-  computeSPFHSignatures optimization (it collects the distinct neighbor
-  set of the requested indices, fpfh.hpp): K*M queries instead of P.
-  At the 500k eval config that is ~50k SPFH evaluations instead of 420k
-  (duplicated neighbors recompute; a fixed-shape program cannot dedupe,
-  and the waste is far below the 8x saving).
+  computeSPFHSignatures optimization (fpfh.hpp collects the distinct
+  neighbor set of the requested indices).
+
+Two engines, dispatched like every neighbor op (ops/neighbors.py):
+- dense (small clouds): SPFH neighborhoods via the capped radius gather
+  (radius_neighbors, nearest-first, max_neighbors cap), histograms as
+  one-hot matmuls in lax.map slabs.
+- grid (at scale): SPFH accumulated DIRECTLY on the cell grid — one pass
+  computes the Darboux pair features of every (needed point, in-radius
+  candidate) pair and reduces them into the 33 bins in place. No top-k, no
+  per-neighbor index materialization, no per-row gathers, and no
+  max_neighbors cap (all in-radius points contribute, like PCL; the only
+  cap is the grid bucket capacity, which is counted as overflow). The
+  "needed point" mask (union of the keypoints' neighborhoods, deduplicated
+  by construction — each cloud point's SPFH is computed once however many
+  keypoints share it) makes grid_query's empty-tile skipping effective.
 """
 
 from __future__ import annotations
@@ -36,14 +45,14 @@ from mapmerge_tpu.ops.descriptors.darboux import (
     pair_features,
 )
 from mapmerge_tpu.ops.keypoints.harris import Keypoints
-from mapmerge_tpu.ops.neighbors import radius_neighbors
+from mapmerge_tpu.ops.neighbors import _resolve_engine, radius_neighbors
 from mapmerge_tpu.ops.normals import SurfaceNormals
 
 _BINS = 11
 _PI = float(jnp.pi)
 
 
-def _spfh_at(
+def _spfh_dense(
     q_xyz: jax.Array,
     q_nrm: jax.Array,
     q_ok: jax.Array,
@@ -52,18 +61,17 @@ def _spfh_at(
     radius: float,
     max_neighbors: int,
     tile: int,
-    engine: str = "auto",
     scan_cap: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
     """SPFH (Q, 33) at the given oriented query points + validity (Q,).
 
-    Computed in slabs under lax.map: the one-hot histograms are
-    (slab, M, 11) — unchunked at large Q they are GBs of HBM (measured TPU
-    worker crash at the 500k eval config)."""
+    Dense-engine path: capped nearest-first neighbor gather, then one-hot
+    histograms in slabs under lax.map (the one-hot intermediates are
+    (slab, M, 11) — unchunked at large Q they are GBs of HBM)."""
     p_ok = cloud.mask & normals.valid
     idx, d2, nmask = radius_neighbors(
         q_xyz, cloud.xyz, radius, max_neighbors,
-        p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
+        p_mask=p_ok, tile=tile, engine="dense", scan_cap=scan_cap,
     )
     # the query is drawn from the cloud: exclude its own zero-distance hit
     # (PCL SPFH pairs each point with its neighbors, not itself)
@@ -108,6 +116,58 @@ def _spfh_at(
     return spfh, q_ok & (total > 0)
 
 
+def _spfh_grid(
+    cloud: PointCloud,
+    normals: SurfaceNormals,
+    needed: jax.Array,
+    radius: float,
+    scan_cap: int,
+    tile: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """SPFH (P, 33) at every cloud point flagged `needed` + pair counts (P,).
+
+    One grid pass: every (needed point, valid in-radius candidate) pair's
+    Darboux features are binned in place — the 33 bins are separate masked
+    reductions over the candidate axis, which XLA fuses into a single sweep
+    (no (B, Cq, M, 33) one-hot tensor, no neighbor index lists)."""
+    from mapmerge_tpu.ops.grid import build_grid, grid_query
+
+    p_ok = cloud.mask & normals.valid
+    grid = build_grid(cloud.xyz, p_ok, radius, None, scan_cap)
+    r2 = jnp.float32(radius * radius)
+
+    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx, q_nrm, cand_nrm):
+        theta, alpha, phi, dist, pair_ok = pair_features(
+            q_block[:, :, None, :], q_nrm[:, :, None, :],
+            cand_xyz[:, None, :, :], cand_nrm[:, None, :, :],
+        )  # (B, Cq, M)
+        d2 = dist * dist
+        # pair_ok already excludes the zero-distance self hit (PCL pairs a
+        # point with its neighbors, not itself)
+        w = (cand_ok[:, None, :] & pair_ok & (d2 <= r2)).astype(jnp.float32)
+        t_i = bin_index(theta, -_PI, _PI, _BINS)
+        a_i = bin_index(alpha, -1.0, 1.0, _BINS)
+        p_i = bin_index(phi, -1.0, 1.0, _BINS)
+        cols = [
+            jnp.sum(w * (src == b), axis=-1)
+            for src in (t_i, a_i, p_i)
+            for b in range(_BINS)
+        ]
+        hist = jnp.stack(cols, axis=-1)  # (B, Cq, 33)
+        total = jnp.sum(w, axis=-1)
+        scale = jnp.where(total > 0, 100.0 / jnp.maximum(total, 1.0), 0.0)
+        return hist * scale[..., None], total
+
+    nrm = normals.normals
+    (spfh, total), _ = grid_query(
+        cloud.xyz, grid, tile_fn,
+        (jnp.zeros((3 * _BINS,), jnp.float32), jnp.float32(0)),
+        q_mask=needed & p_ok, tile=tile,
+        q_values=nrm, p_values=nrm,
+    )
+    return spfh, total
+
+
 def compute_fpfh(
     cloud: PointCloud,
     normals: SurfaceNormals,
@@ -127,17 +187,33 @@ def compute_fpfh(
         p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
     )  # (K, M) keypoint neighborhoods
 
-    # SPFH only at the gathered neighbor points (PCL computeSPFHSignatures)
-    flat_idx = idx.reshape(-1)  # (K*M,)
-    q_xyz = cloud.xyz[flat_idx]
-    q_nrm = normals.normals[flat_idx]
-    q_ok = p_ok[flat_idx] & nmask.reshape(-1)
-    spfh_flat, spfh_ok_flat = _spfh_at(
-        q_xyz, q_nrm, q_ok, cloud, normals, radius, max_neighbors, tile,
-        engine, scan_cap,
-    )
-    spfh = spfh_flat.reshape(idx.shape[0], idx.shape[1], 3 * _BINS)
-    spfh_ok = spfh_ok_flat.reshape(idx.shape)
+    n = cloud.capacity
+    if _resolve_engine(engine, n) == "grid":
+        # deduplicated needed-point mask: each cloud point in any keypoint
+        # neighborhood gets its SPFH computed exactly once
+        sel = jnp.where(nmask, idx, n).reshape(-1)
+        needed = jnp.zeros((n + 1,), bool).at[sel].set(True)[:n]
+        spfh_all, npairs = _spfh_grid(
+            cloud, normals, needed, radius, scan_cap,
+        )
+        flat = idx.reshape(-1)
+        spfh = spfh_all[flat].reshape(idx.shape + (3 * _BINS,))
+        spfh_ok = (npairs[flat].reshape(idx.shape) > 0) & nmask
+    else:
+        # SPFH only at the gathered neighbor points (PCL
+        # computeSPFHSignatures); duplicates recompute — a fixed-shape
+        # gather program cannot dedupe, and K*M stays far below P
+        flat_idx = idx.reshape(-1)  # (K*M,)
+        q_xyz = cloud.xyz[flat_idx]
+        q_nrm = normals.normals[flat_idx]
+        q_ok = p_ok[flat_idx] & nmask.reshape(-1)
+        spfh_flat, spfh_ok_flat = _spfh_dense(
+            cloud=cloud, normals=normals, q_xyz=q_xyz, q_nrm=q_nrm,
+            q_ok=q_ok, radius=radius, max_neighbors=max_neighbors,
+            tile=tile, scan_cap=scan_cap,
+        )
+        spfh = spfh_flat.reshape(idx.shape[0], idx.shape[1], 3 * _BINS)
+        spfh_ok = spfh_ok_flat.reshape(idx.shape)
 
     dist = jnp.sqrt(jnp.maximum(d2, 0.0))
     w = jnp.where(

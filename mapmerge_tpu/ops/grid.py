@@ -194,6 +194,9 @@ def grid_query(
     q_mask: jax.Array | None = None,
     tile: int = 16,
     q_cap: int | None = None,
+    q_values=None,
+    p_values=None,
+    skip_empty: bool = True,
 ):
     """Bucket-grouped query processing.
 
@@ -201,16 +204,46 @@ def grid_query(
     cells in tiles of `tile`, and scatters results back to query order.
 
     tile_fn(q_block (B, Cq, 3), cand_xyz (B, M, 3), cand_ok (B, M),
-            cand_idx (B, M)) -> pytree of (B, Cq, ...) outputs.
+            cand_idx (B, M)[, q_vals, p_vals]) -> pytree of (B, Cq, ...)
+    outputs. `q_values` / `p_values` are optional pytrees of per-query /
+    per-point channel arrays (N, ...); they are pre-scattered into the cell
+    layout ONCE (block gathers in the scan body, never per-row gathers) and
+    handed to tile_fn as (B, Cq, ...) / (B, M, ...) extra args.
+
     `out_defaults`: matching pytree of per-query default values (scalars or
     arrays broadcastable to the tail shape) used for queries that overflow
-    the query-side bucket capacity. Returns (outputs, q_overflow_count).
+    the query-side bucket capacity — and, with `skip_empty`, for queries in
+    buckets that hold none (vacuous: such buckets hold no queries).
+
+    `skip_empty` (default on) wraps each scan step in a `lax.cond` on
+    "does this bucket tile hold any query?" — sparse query sets (e.g. the
+    SPFH needed-point mask) and the ~4x empty-bucket padding of the hash
+    layout then cost a branch instead of a full (B, Cq, 27C) pass. Exact:
+    a skipped tile holds no queries, so it had nothing to scatter.
+
+    Returns (outputs, q_overflow_count).
     """
     qg = build_grid(q, q_mask, grid.cell_size, grid.dims, q_cap or grid.cap)
     h = grid.count.shape[0]
     nq = q.shape[0]
     c = grid.cap
     cq = q_cap or grid.cap
+
+    def _pad_rows(v):
+        return jnp.concatenate([v, jnp.zeros((1,) + v.shape[1:], v.dtype)])
+
+    # channel arrays in cell layout: one (H*C,)-row gather up front so the
+    # scan body only does whole-block gathers
+    p_cells = None
+    if p_values is not None:
+        p_cells = jax.tree_util.tree_map(
+            lambda v: _pad_rows(v)[grid.cell_idx], p_values
+        )  # (H, C, ...)
+    q_cells = None
+    if q_values is not None:
+        q_cells = jax.tree_util.tree_map(
+            lambda v: _pad_rows(v)[qg.cell_idx], q_values
+        )  # (H, Cq, ...)
 
     buckets = jnp.arange(h, dtype=jnp.int32).reshape(-1, tile)
 
@@ -224,7 +257,7 @@ def grid_query(
             jnp.asarray(default, t.dtype), (nq + 1,) + t.shape[2:]
         )
 
-    def step(carry, bucket_tile):  # (B,)
+    def body(carry, bucket_tile):  # (B,)
         nbr = _neighbor_buckets(bucket_tile, grid.dims)  # (B, 27)
         # dedupe ids duplicated by wrapping on tiny grids
         nbr = jnp.sort(nbr, axis=-1)
@@ -238,24 +271,70 @@ def grid_query(
         )
         cand_idx = grid.cell_idx[nbr].reshape(nbr.shape[0], 27 * c)
         q_block = qg.cell_xyz[bucket_tile]  # (B, Cq, 3)
-        outs = tile_fn(q_block, cand_xyz, cand_ok, cand_idx)  # (B, Cq, ...)
+        extras = []
+        if q_cells is not None:
+            extras.append(
+                jax.tree_util.tree_map(lambda v: v[bucket_tile], q_cells)
+            )
+        if p_cells is not None:
+            extras.append(
+                jax.tree_util.tree_map(
+                    lambda v: v[nbr].reshape(
+                        (nbr.shape[0], 27 * c) + v.shape[2:]
+                    ),
+                    p_cells,
+                )
+            )
+        outs = tile_fn(q_block, cand_xyz, cand_ok, cand_idx, *extras)
         slots = qg.cell_idx[bucket_tile].reshape(-1)  # (B*Cq,)
-        carry = jax.tree_util.tree_map(
+        return jax.tree_util.tree_map(
             lambda acc, o: acc.at[slots].set(
                 o.reshape((-1,) + o.shape[2:]), mode="drop"
             ),
             carry,
             outs,
         )
+
+    def step(carry, bucket_tile):
+        if skip_empty:
+            has_queries = jnp.any(qg.count[bucket_tile] > 0)
+            carry = jax.lax.cond(
+                has_queries,
+                lambda cr: body(cr, bucket_tile),
+                lambda cr: cr,
+                carry,
+            )
+        else:
+            carry = body(carry, bucket_tile)
         return carry, None
 
     # build init from defaults; tail shapes come from a shape-eval of tile_fn
+    extras_spec = []
+    if q_values is not None:
+        extras_spec.append(
+            jax.tree_util.tree_map(
+                lambda v: jax.ShapeDtypeStruct(
+                    (tile, cq) + v.shape[1:], v.dtype
+                ),
+                q_values,
+            )
+        )
+    if p_values is not None:
+        extras_spec.append(
+            jax.tree_util.tree_map(
+                lambda v: jax.ShapeDtypeStruct(
+                    (tile, 27 * c) + v.shape[1:], v.dtype
+                ),
+                p_values,
+            )
+        )
     tail = jax.eval_shape(
         tile_fn,
         jax.ShapeDtypeStruct((tile, cq, 3), q.dtype),
         jax.ShapeDtypeStruct((tile, 27 * c, 3), grid.cell_xyz.dtype),
         jax.ShapeDtypeStruct((tile, 27 * c), bool),
         jax.ShapeDtypeStruct((tile, 27 * c), jnp.int32),
+        *extras_spec,
     )
     init = jax.tree_util.tree_map(init_leaf, out_defaults, tail)
     out, _ = jax.lax.scan(step, init, buckets)
