@@ -491,22 +491,15 @@ def grid_radius_reduce(
 ) -> tuple[jax.Array, jax.Array]:
     """Grid twin of neighbors.radius_reduce: (count, sum|max of values)."""
     grid = build_grid(p, p_mask, radius, dims, scan_cap)
-    # values in cell layout: one gather into (H, C, V)
-    vals_pad = jnp.concatenate(
-        [values, jnp.zeros((1,) + values.shape[1:], values.dtype)]
-    )
-    cell_vals = vals_pad[grid.cell_idx]  # (H, C, V)
     r2 = jnp.float32(radius * radius)
     v_dim = values.shape[-1]
 
-    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx):
-        b = q_block.shape[0]
+    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx, v):
+        # v (B, M, V) arrives via the p_values channel: block gathers from
+        # the cell layout, never per-row gathers (the measured Harris hot
+        # spot was vals_pad[cand_idx] here — 55k row gathers per tile)
         within = cand_ok[:, None, :] & (_d2(q_block, cand_xyz) <= r2)
         count = jnp.sum(within, axis=-1).astype(jnp.int32)
-        # candidate values re-gathered per tile from the cell layout:
-        # reconstruct (B, M, V) from neighbor buckets
-        # (cand_idx rows point into the padded original array)
-        v = vals_pad[cand_idx]  # (B, M, V) — block rows, small B
         if reduce == "sum":
             out = jnp.einsum(
                 "bqm,bmv->bqv", within.astype(jnp.float32), v,
@@ -525,9 +518,8 @@ def grid_radius_reduce(
         (jnp.int32(0),
          jnp.zeros((v_dim,), jnp.float32) if reduce == "sum"
          else jnp.full((v_dim,), -BIG, jnp.float32)),
-        tile=tile,
+        tile=tile, p_values=values,
     )
-    del cell_vals
     return count, out
 
 
@@ -605,13 +597,12 @@ def grid_gaussian_smooth(
     truncation). Backs the grid-engine SIFT scale space."""
     r_bound = 3.0 * max(sigmas)
     grid = build_grid(p, p_mask, r_bound, dims, scan_cap)
-    vals_pad = jnp.concatenate([values, jnp.zeros((1,), values.dtype)])
     r2 = jnp.float32(r_bound * r_bound)
 
-    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx):
+    def tile_fn(q_block, cand_xyz, cand_ok, cand_idx, v):
+        # v (B, M) via the p_values channel (block gathers only)
         d2 = _d2(q_block, cand_xyz)  # (B, Cq, M)
         base_ok = (cand_ok[:, None, :] & (d2 <= r2)).astype(jnp.float32)
-        v = vals_pad[cand_idx]  # (B, M)
         outs = []
         for s in sigmas:
             w = jnp.exp(-d2 * jnp.float32(1.0 / (2.0 * s * s))) * base_ok
@@ -621,6 +612,7 @@ def grid_gaussian_smooth(
         return jnp.stack(outs, axis=-1)  # (B, Cq, S)
 
     out, _ = grid_query(
-        q, grid, tile_fn, jnp.zeros((len(sigmas),), jnp.float32), tile=tile
+        q, grid, tile_fn, jnp.zeros((len(sigmas),), jnp.float32), tile=tile,
+        p_values=values,
     )
     return out
