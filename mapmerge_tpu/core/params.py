@@ -91,6 +91,11 @@ class MergeParams:
     #: max candidates read per hash bucket under the grid engine; overflow
     #: is detected and surfaced (CloudFeatures.scan_overflow), never silent
     grid_scan_cap: int = 128
+    #: after MST chaining, relax ALL confident pairwise edges with a damped
+    #: Gauss-Newton on SE(3) (graph/pose_graph.py) — the batched pair stage
+    #: registers every pair anyway, while the reference discards all but
+    #: N-1 of them (map_merging.cpp:137-186); False = strict MST chaining
+    global_refinement: bool = True
 
     def __post_init__(self):
         if isinstance(self.keypoint_type, str) and not isinstance(
@@ -119,18 +124,23 @@ class MergeParams:
     def strict_parity(cls, **overrides: Any) -> "MergeParams":
         """Params with every behavior-deviating default switched off.
 
-        The stock defaults deviate from the reference in exactly two ways,
-        both opt-out improvements:
+        The stock defaults deviate from the reference in exactly three
+        ways, all opt-out improvements:
           - `robust_confidence=True`: graph edges weighted by
             coverage^2/score * inliers instead of the raw 1/score
             (map_merging.cpp:265-268);
           - `icp_anneal=0.85`: coarse-to-fine ICP correspondence bound
             instead of PCL's fixed max_correspondence_distance
-            (matching.cpp:204-220).
-        This constructor restores strict reference semantics for both (the
+            (matching.cpp:204-220);
+          - `global_refinement=True`: pose-graph relaxation over all
+            confident edges after the reference's MST-only chaining
+            (map_merging.cpp:137-186).
+        This constructor restores strict reference semantics for all (the
         parity path is e2e-tested in tests/test_pipeline_e2e.py).
         """
-        base = dict(robust_confidence=False, icp_anneal=1.0)
+        base = dict(
+            robust_confidence=False, icp_anneal=1.0, global_refinement=False
+        )
         base.update(overrides)
         return cls(**base)
 

@@ -215,7 +215,21 @@ def estimate_maps_transforms(
         )
         for k, (i, j) in enumerate(pairs)
     ]
-    return compute_global_transforms(estimates, params.confidence_threshold)
+    return _solve_graph(estimates, params)
+
+
+def _solve_graph(estimates, params: MergeParams) -> list[np.ndarray]:
+    """MST chaining (reference semantics) + optional all-edge relaxation."""
+    global_t = compute_global_transforms(
+        estimates, params.confidence_threshold
+    )
+    if params.global_refinement:
+        from mapmerge_tpu.graph.pose_graph import refine_global_transforms
+
+        global_t = refine_global_transforms(
+            estimates, global_t, params.confidence_threshold
+        )
+    return global_t
 
 
 def _estimate_maps_transforms_sharded(
@@ -265,7 +279,7 @@ def _estimate_maps_transforms_sharded(
         )
         for k, (i, j) in enumerate(pairs)
     ]
-    return compute_global_transforms(estimates, params.confidence_threshold)
+    return _solve_graph(estimates, params)
 
 
 def compose_maps(

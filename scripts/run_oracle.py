@@ -19,9 +19,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-import numpy as np
+# the box's sitecustomize force-registers the TPU backend and overrides the
+# env var at interpreter start — undo it, or this CPU-only measurement
+# grabs (and blocks) the single-tenant TPU for its whole run
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
