@@ -188,16 +188,38 @@ def config2():
     transforms = estimate_maps_transforms(clouds, params, seed=0)
     wall = time.perf_counter() - t0
     check_chain(transforms, truths, rot_tol=2.0, trans_tol=0.3, min_ok=4)
-    emit(
-        {
-            "config": "config2_5map_500k",
-            "metric": "5-map all-pairs merge wall-clock (1 chip, warm)",
-            "cloud_points": sizes,
-            "value": round(wall, 2),
-            "unit": "s",
-            "maps_per_min": round(5 * 60.0 / wall, 2),
-        }
+
+    # vs the frozen CPU-oracle baseline (scripts/run_oracle.py config2:
+    # the faithful scipy-cKDTree reimplementation of the reference pipeline
+    # on the IDENTICAL fixture + params), with a pose gate against its
+    # golden poses — the same protocol as bench.py/config1
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "golden", "config2.json"
     )
+    record = {
+        "config": "config2_5map_500k",
+        "metric": "5-map all-pairs merge wall-clock (1 chip, warm)",
+        "cloud_points": sizes,
+        "value": round(wall, 2),
+        "unit": "s",
+        "maps_per_min": round(5 * 60.0 / wall, 2),
+    }
+    if os.path.exists(golden_path):
+        with open(golden_path) as f:
+            golden = json.load(f)
+        for i, gt in enumerate(golden["transforms"]):
+            gt = np.asarray(gt, np.float32)
+            if not (gt.any() and np.asarray(transforms[i]).any()):
+                continue
+            rel = np.linalg.inv(np.asarray(transforms[0])) @ transforms[i]
+            grel = np.linalg.inv(np.asarray(golden["transforms"][0])) @ gt
+            rot, trans = _pose_err(rel, grel)
+            assert rot < 2.0 and trans < 0.3, (
+                f"golden pose gate: map {i}: {rot} deg {trans} m vs oracle"
+            )
+        record["oracle_wall_s"] = golden["wall_seconds"]
+        record["vs_baseline"] = round(golden["wall_seconds"] / wall, 2)
+    emit(record)
 
 
 def config3():

@@ -119,6 +119,14 @@ class MergeParams:
                 from_string(EstimationMethod, self.estimation_method),
             )
 
+    @property
+    def registration_scan_cap(self) -> int:
+        """Bucket capacity for the pair-stage grids (ICP correspondence,
+        transform score). Their cells are max_correspondence_distance wide
+        — much wider than the feature-stage cells — so they get twice the
+        feature-stage cap (and never less than 256)."""
+        return max(256, self.grid_scan_cap * 2)
+
     # ---- construction helpers ----
     @classmethod
     def strict_parity(cls, **overrides: Any) -> "MergeParams":
@@ -168,8 +176,8 @@ class MergeParams:
         return cls(**derived_fields)
 
     @classmethod
-    def from_command_line(cls, argv: list[str]) -> "MergeParams":
-        """`--param value` CLI parsing, mirroring
+    def command_line_overrides(cls, argv: list[str]) -> dict[str, Any]:
+        """Extract `--param value` field overrides from argv, mirroring
         MapMergingParams::fromCommandLine (map_merging.cpp:10-54): each field
         is parsed independently against the defaults (no re-derivation)."""
         overrides: dict[str, Any] = {}
@@ -189,7 +197,12 @@ class MergeParams:
         # (map_merging.cpp:44-47)
         if "matching_k" in overrides and overrides["matching_k"] <= 0:
             del overrides["matching_k"]
-        return cls(**overrides)
+        return overrides
+
+    @classmethod
+    def from_command_line(cls, argv: list[str]) -> "MergeParams":
+        """Params from `--param value` CLI args (map_merging.cpp:10-54)."""
+        return cls(**cls.command_line_overrides(argv))
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "MergeParams":

@@ -69,7 +69,7 @@ def _spfh_dense(
     histograms in slabs under lax.map (the one-hot intermediates are
     (slab, M, 11) — unchunked at large Q they are GBs of HBM)."""
     p_ok = cloud.mask & normals.valid
-    idx, d2, nmask = radius_neighbors(
+    idx, d2, nmask, _ = radius_neighbors(
         q_xyz, cloud.xyz, radius, max_neighbors,
         p_mask=p_ok, tile=tile, engine="dense", scan_cap=scan_cap,
     )
@@ -182,7 +182,7 @@ def compute_fpfh(
     (reference features.cpp:99-150 template instantiated with
     pcl::FPFHEstimation)."""
     p_ok = cloud.mask & normals.valid
-    idx, d2, nmask = radius_neighbors(
+    idx, d2, nmask, _ = radius_neighbors(
         keypoints.xyz, cloud.xyz, radius, max_neighbors,
         p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
     )  # (K, M) keypoint neighborhoods

@@ -68,7 +68,8 @@ def _neighborhood(
     scan_cap: int = 128,
 ):
     p_ok = cloud.mask & normals.valid
-    idx, _, nmask = radius_neighbors(
+    # keypoint queries: overflow bounded by the feature-stage probe
+    idx, _, nmask, _ = radius_neighbors(
         keypoints.xyz, cloud.xyz, radius, max_neighbors,
         p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
     )

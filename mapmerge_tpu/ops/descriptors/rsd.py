@@ -38,7 +38,8 @@ def compute_rsd(
     scan_cap: int = 128,
 ) -> Descriptors:
     p_ok = cloud.mask & normals.valid
-    idx, d2, nmask = radius_neighbors(
+    # keypoint queries: overflow bounded by the feature-stage probe
+    idx, d2, nmask, _ = radius_neighbors(
         keypoints.xyz, cloud.xyz, radius, max_neighbors,
         p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
     )

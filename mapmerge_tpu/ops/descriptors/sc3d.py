@@ -52,11 +52,12 @@ def compute_sc3d(
     density_radius = radius / 5.0  # PCL point_density_radius default
 
     # local point density for every surface point (PCL computePointDensity)
-    density = radius_count(
+    density, _ = radius_count(
         cloud.xyz, cloud.xyz, density_radius, p_mask=cloud.mask, tile=tile
-    ).astype(jnp.float32)
+    )
+    density = density.astype(jnp.float32)
 
-    idx, d2, nmask = radius_neighbors(
+    idx, d2, nmask, _ = radius_neighbors(
         keypoints.xyz, cloud.xyz, radius, max_neighbors,
         p_mask=p_ok, tile=tile, engine=engine, scan_cap=scan_cap,
     )

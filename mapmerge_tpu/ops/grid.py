@@ -359,7 +359,11 @@ def grid_radius_count(
     scan_cap: int = 128,
     dims: tuple | None = None,
 ) -> jax.Array:
-    """Grid twin of neighbors.radius_count (exact up to scan_cap)."""
+    """Grid twin of neighbors.radius_count (exact up to scan_cap).
+
+    Returns (counts, overflow): `overflow` counts queries dropped by the
+    query-side bucket cap (their output is the default) — callers surface
+    it (no silent caps)."""
     grid = build_grid(p, p_mask, radius, dims, scan_cap)
     r2 = jnp.float32(radius * radius)
 
@@ -367,10 +371,10 @@ def grid_radius_count(
         within = cand_ok[:, None, :] & (_d2(q_block, cand_xyz) <= r2)
         return jnp.sum(within, axis=-1).astype(jnp.int32)
 
-    counts, _ = grid_query(q, grid, tile_fn, jnp.int32(0), tile=tile)
+    counts, overflow = grid_query(q, grid, tile_fn, jnp.int32(0), tile=tile)
     if not include_self:
         counts = counts - 1
-    return counts
+    return counts, overflow
 
 
 def grid_radius_neighbors(
@@ -385,7 +389,10 @@ def grid_radius_neighbors(
     dims: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Grid twin of neighbors.radius_neighbors: up to k nearest within
-    radius, nearest first, indices in ORIGINAL point order."""
+    radius, nearest first, indices in ORIGINAL point order.
+
+    Returns (idx, d2, valid, overflow) — `overflow` counts queries dropped
+    by the query-side bucket cap (their rows come back all-invalid)."""
     grid = build_grid(p, p_mask, radius, dims, scan_cap)
     r2 = jnp.float32(radius * radius)
 
@@ -420,14 +427,14 @@ def grid_radius_neighbors(
             valid = jnp.pad(valid, ((0, 0), (0, 0), (0, pad)))
         return idx.astype(jnp.int32), d2k, valid
 
-    (idx, d2k, valid), _ = grid_query(
+    (idx, d2k, valid), overflow = grid_query(
         q, grid, tile_fn,
         (jnp.int32(0), jnp.float32(BIG), jnp.asarray(False)),
         tile=tile,
     )
     # out-of-cloud sentinel index -> 0 (masked by valid=False anyway)
     idx = jnp.where(idx >= p.shape[0], 0, idx)
-    return idx, d2k, valid
+    return idx, d2k, valid, overflow
 
 
 def grid_nearest_neighbor(
@@ -438,12 +445,15 @@ def grid_nearest_neighbor(
     tile: int = 16,
     scan_cap: int = 128,
     dims: tuple | None = None,
-) -> tuple[jax.Array, jax.Array]:
-    """Bounded 1-NN: (idx, d2) with d2 = BIG when nothing lies within
-    `bound`. Exact for every consumer that discards matches beyond a known
-    bound (ICP's max_correspondence_distance, transformScore's max_range)."""
+    q_mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Bounded 1-NN: (idx, d2, overflow) with d2 = BIG when nothing lies
+    within `bound`. Exact for every consumer that discards matches beyond a
+    known bound (ICP's max_correspondence_distance, transformScore's
+    max_range) — up to the query-side bucket cap, whose drops `overflow`
+    counts."""
     grid = build_grid(p, p_mask, bound, dims, scan_cap)
-    return grid_nn_query(grid, q, p.shape[0], tile=tile)
+    return grid_nn_query(grid, q, p.shape[0], tile=tile, q_mask=q_mask)
 
 
 def grid_nn_query(
@@ -451,12 +461,14 @@ def grid_nn_query(
     q: jax.Array,
     n_p: int,
     tile: int = 16,
-) -> tuple[jax.Array, jax.Array]:
+    q_mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Bounded 1-NN against a PREBUILT grid (cell edge = the bound).
 
     Lets iterative consumers (ICP: the target never moves) build the
     target grid once outside their loop instead of re-sorting every
-    iteration."""
+    iteration. Returns (idx, d2, overflow): queries past the query-side
+    bucket cap come back unmatched (d2 = BIG) and are counted."""
     bound = grid.cell_size
     r2 = jnp.float32(bound * bound)
 
@@ -471,11 +483,15 @@ def grid_nn_query(
         )[..., 0]
         return idx.astype(jnp.int32), best
 
-    (idx, best), _ = grid_query(
-        q, grid, tile_fn, (jnp.int32(0), jnp.float32(BIG)), tile=tile
+    # q_mask keeps padded/invalid queries out of the overflow count (they
+    # need no correspondence — counting them fires false no-silent-caps
+    # warnings on padded clouds)
+    (idx, best), overflow = grid_query(
+        q, grid, tile_fn, (jnp.int32(0), jnp.float32(BIG)), tile=tile,
+        q_mask=q_mask,
     )
     idx = jnp.where(idx >= n_p, 0, idx)
-    return idx, best
+    return idx, best, overflow
 
 
 def grid_radius_reduce(
@@ -489,7 +505,8 @@ def grid_radius_reduce(
     scan_cap: int = 128,
     dims: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Grid twin of neighbors.radius_reduce: (count, sum|max of values)."""
+    """Grid twin of neighbors.radius_reduce:
+    (count, sum|max of values, query-overflow count)."""
     grid = build_grid(p, p_mask, radius, dims, scan_cap)
     r2 = jnp.float32(radius * radius)
     v_dim = values.shape[-1]
@@ -513,14 +530,14 @@ def grid_radius_reduce(
             raise ValueError(f"unknown reduce: {reduce}")
         return count, out
 
-    (count, out), _ = grid_query(
+    (count, out), overflow = grid_query(
         q, grid, tile_fn,
         (jnp.int32(0),
          jnp.zeros((v_dim,), jnp.float32) if reduce == "sum"
          else jnp.full((v_dim,), -BIG, jnp.float32)),
         tile=tile, p_values=values,
     )
-    return count, out
+    return count, out, overflow
 
 
 def grid_neighbor_moments(
@@ -532,7 +549,8 @@ def grid_neighbor_moments(
     scan_cap: int = 128,
     dims: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Grid twin of neighbors.neighbor_moments: (count, mean, cov).
+    """Grid twin of neighbors.neighbor_moments: (count, mean, cov,
+    query-overflow count).
 
     Candidates are centered on the query before the moment sums, so the
     covariance has no large-coordinate cancellation."""
@@ -572,13 +590,13 @@ def grid_neighbor_moments(
         cov = e_outer - mean_rel[..., :, None] * mean_rel[..., None, :]
         return s0, mean_rel + q_block, cov
 
-    (s0, mean, cov), _ = grid_query(
+    (s0, mean, cov), overflow = grid_query(
         q, grid, tile_fn,
         (jnp.float32(0), jnp.zeros((3,), jnp.float32),
          jnp.zeros((3, 3), jnp.float32)),
         tile=tile,
     )
-    return s0, mean, cov
+    return s0, mean, cov, overflow
 
 
 def grid_gaussian_smooth(
@@ -591,7 +609,8 @@ def grid_gaussian_smooth(
     scan_cap: int = 128,
     dims: tuple | None = None,
 ) -> jax.Array:
-    """Gaussian-weighted means of `values` (P,) at every sigma: (Q, S).
+    """Gaussian-weighted means of `values` (P,) at every sigma:
+    ((Q, S), query-overflow count).
 
     Neighborhood bounded at 3 * max(sigmas) (PCL SIFT scale-space
     truncation). Backs the grid-engine SIFT scale space."""
@@ -611,8 +630,8 @@ def grid_gaussian_smooth(
             outs.append(num / jnp.maximum(den, 1e-12))
         return jnp.stack(outs, axis=-1)  # (B, Cq, S)
 
-    out, _ = grid_query(
+    out, overflow = grid_query(
         q, grid, tile_fn, jnp.zeros((len(sigmas),), jnp.float32), tile=tile,
         p_values=values,
     )
-    return out
+    return out, overflow

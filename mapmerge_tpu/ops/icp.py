@@ -36,8 +36,16 @@ def icp_refine(
     tile: int = 1024,
     anneal: float = 0.85,
     min_correspondence_distance: float | None = None,
-) -> tuple[jax.Array, jax.Array]:
-    """Refine `initial` (source->target). Returns (transform, converged).
+    scan_cap: int = 256,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Refine `initial` (source->target).
+    Returns (transform, converged, scan_overflow).
+
+    `scan_overflow` is the worst per-iteration count of moved-source query
+    points the grid engine dropped at its query-side bucket cap — those
+    points silently lose their correspondence, so callers surface the
+    counter (a source cloud denser than the target grid's buckets is
+    otherwise invisible). Always 0 on the dense engine.
 
     Coarse-to-fine: the correspondence bound starts at
     `max_correspondence_distance` and shrinks by `anneal` each iteration
@@ -80,22 +88,28 @@ def icp_refine(
 
         target_grid = build_grid(
             target.xyz, target.mask,
-            float(max_correspondence_distance), cap=256,
+            float(max_correspondence_distance), cap=scan_cap,
         )
 
     def _nn(moved):
+        # q_mask: only the valid source points count toward query overflow
+        # (padded slots never need a correspondence)
         if use_grid:
-            return grid_nn_query(target_grid, moved, target.capacity)
+            return grid_nn_query(
+                target_grid, moved, target.capacity, q_mask=source.mask
+            )
         return nearest_neighbor(
             moved, target.xyz, p_mask=target.mask, tile=tile,
-            bound=float(max_correspondence_distance), scan_cap=256,
+            bound=float(max_correspondence_distance), scan_cap=scan_cap,
+            q_mask=source.mask,
         )
 
     def step(state):
-        t, _, it, _, ever_ok, prev_mse = state
+        t, _, it, _, ever_ok, prev_mse, worst_of = state
         dist = jnp.maximum(d_hi * jnp.float32(anneal) ** it, d_lo)
         moved = tf.apply(t, source.xyz)
-        idx, d2 = _nn(moved)
+        idx, d2, overflow = _nn(moved)
+        worst_of = jnp.maximum(worst_of, overflow)
         w = (source.mask & (d2 <= dist * dist)).astype(jnp.float32)
         matched = target.xyz[idx]
         delta, ok = kabsch(moved, matched, w)
@@ -122,10 +136,10 @@ def icp_refine(
         done = jnp.where(
             ok, (change < eps) & (rel_mse < 1e-4) & at_floor, True
         )
-        return t_new, done, it + 1, ok, ever_ok | ok, mse
+        return t_new, done, it + 1, ok, ever_ok | ok, mse, worst_of
 
     def cond(state):
-        _, done, it, _, _, _ = state
+        _, done, it, _, _, _, _ = state
         return jnp.logical_not(done) & (it < max_iterations)
 
     init = (
@@ -135,6 +149,7 @@ def icp_refine(
         jnp.asarray(False),
         jnp.asarray(False),
         jnp.asarray(1.0e30, jnp.float32),
+        jnp.zeros((), jnp.int32),
     )
-    t, _, _, _, ever_ok, _ = jax.lax.while_loop(cond, step, init)
-    return t, ever_ok
+    t, _, _, _, ever_ok, _, worst_of = jax.lax.while_loop(cond, step, init)
+    return t, ever_ok, worst_of

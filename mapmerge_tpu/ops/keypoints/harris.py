@@ -54,7 +54,8 @@ def harris_response(
     """HARRIS corner response per cloud point (invalid slots -> -inf-ish)."""
     n = jnp.where(normals.valid[:, None], normals.normals, 0.0)
     outer = (n[:, :, None] * n[:, None, :]).reshape(-1, 9)
-    _, sums = radius_reduce(
+    # self-query: overflow bounded by the feature-stage probe
+    _, sums, _ = radius_reduce(
         cloud.xyz, cloud.xyz, radius, outer, p_mask=cloud.mask & normals.valid,
         tile=tile, engine=engine, scan_cap=scan_cap,
     )
@@ -83,7 +84,8 @@ def _refine_step(
     outer = nrm[:, :, None] * nrm[:, None, :]  # (P, 3, 3)
     nntp = jnp.einsum("pij,pj->pi", outer, cloud.xyz)  # (P, 3)
     values = jnp.concatenate([outer.reshape(-1, 9), nntp], axis=-1)  # (P, 12)
-    _, sums = radius_reduce(
+    # keypoints are a subset of the cloud: overflow bounded by the probe
+    _, sums, _ = radius_reduce(
         kp_xyz, cloud.xyz, radius, values,
         p_mask=cloud.mask & normals.valid, tile=tile,
         engine=engine, scan_cap=scan_cap,
@@ -140,7 +142,8 @@ def detect_keypoints_harris(
     )
 
     # non-max suppression: own response must equal the neighborhood max
-    _, nmax = radius_reduce(
+    # (self-query: overflow bounded by the feature-stage probe)
+    _, nmax, _ = radius_reduce(
         cloud.xyz, cloud.xyz, radius, resp[:, None],
         p_mask=cloud.mask & normals.valid, tile=tile, reduce="max",
         engine=engine, scan_cap=scan_cap,

@@ -68,7 +68,9 @@ def _scale_space(
     if _resolve_engine(engine, cloud.capacity) == "grid":
         from mapmerge_tpu.ops.grid import grid_gaussian_smooth
 
-        out = grid_gaussian_smooth(
+        # self-query: the query grid is the point grid, so query overflow
+        # equals build overflow, bounded by the feature-stage probe
+        out, _ = grid_gaussian_smooth(
             cloud.xyz, cloud.xyz, intensity, sigmas, p_mask=cloud.mask,
             scan_cap=scan_cap,
         )  # (P, S)
@@ -131,7 +133,7 @@ def detect_keypoints_sift(
             if _resolve_engine(engine, p_oct) == "grid"
             else 1.0e6
         )
-        idx, _, nmask = radius_neighbors(
+        idx, _, nmask, _ = radius_neighbors(
             oct_cloud.xyz, oct_cloud.xyz, radius=knn_radius, k=knn,
             p_mask=oct_cloud.mask, tile=tile, engine=engine,
             scan_cap=scan_cap,

@@ -113,12 +113,15 @@ def radius_count(
     include_self: bool = True,
     engine: str = "auto",
     scan_cap: int = 128,
-) -> jax.Array:
-    """Count of p-points within `radius` of each query (Q,) int32.
+) -> tuple[jax.Array, jax.Array]:
+    """Counts of p-points within `radius` of each query: ((Q,) int32,
+    query-overflow count).
 
     Backs the RadiusOutlierRemoval equivalent (reference
     src/features.cpp:31-43). `include_self=False` subtracts the query point
-    itself when q is drawn from p (a zero-distance hit).
+    itself when q is drawn from p (a zero-distance hit). The overflow
+    scalar counts queries the grid engine dropped at its query-side bucket
+    cap (always 0 on the exact dense path) — callers surface it.
     """
     if _resolve_engine(engine, p.shape[0]) == "grid":
         from mapmerge_tpu.ops.grid import grid_radius_count
@@ -142,7 +145,7 @@ def radius_count(
     counts = tiled_query(qc, pc, tile_fn, tile)
     if not include_self:
         counts = counts - 1
-    return counts
+    return counts, jnp.zeros((), jnp.int32)
 
 
 def radius_neighbors(
@@ -155,12 +158,14 @@ def radius_neighbors(
     exclude_self: bool = False,
     engine: str = "auto",
     scan_cap: int = 128,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Up to `k` nearest p-points within `radius` per query.
 
-    Returns (idx (Q, k) int32, d2 (Q, k) f32, valid (Q, k) bool), nearest
-    first. This is the fixed-degree gather that replaces PCL's variable-size
-    radiusSearch results (SURVEY.md §7 "Hard parts": capped neighborhoods).
+    Returns (idx (Q, k) int32, d2 (Q, k) f32, valid (Q, k) bool, overflow
+    () int32), nearest first. This is the fixed-degree gather that replaces
+    PCL's variable-size radiusSearch results (SURVEY.md §7 "Hard parts":
+    capped neighborhoods). `overflow` counts queries the grid engine
+    dropped at its query-side bucket cap (0 on the dense path).
     """
     if _resolve_engine(engine, p.shape[0]) == "grid":
         from mapmerge_tpu.ops.grid import grid_radius_neighbors
@@ -190,7 +195,7 @@ def radius_neighbors(
         idx = jnp.pad(idx, ((0, 0), (0, pad)))
         d2k = jnp.pad(d2k, ((0, 0), (0, pad)), constant_values=BIG)
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
-    return idx, d2k, valid
+    return idx, d2k, valid, jnp.zeros((), jnp.int32)
 
 
 def _use_pallas() -> bool:
@@ -217,8 +222,9 @@ def nearest_neighbor(
     engine: str = "auto",
     scan_cap: int = 128,
     bound: float | None = None,
-) -> tuple[jax.Array, jax.Array]:
-    """Exact 1-NN: (idx (Q,), squared distance (Q,)).
+    q_mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact 1-NN: (idx (Q,), squared distance (Q,), overflow () int32).
 
     Backs ICP correspondence search and transformScore (reference
     src/matching.cpp:196-221, 259-268). On TPU this dispatches to the
@@ -228,7 +234,11 @@ def nearest_neighbor(
     With `bound` given, matches beyond it may be reported with d2 = BIG —
     exact for consumers that discard matches past the bound (ICP, score).
     A bound is required for the grid engine; without one, large clouds
-    stay on the dense path.
+    stay on the dense path. `overflow` counts queries the grid engine
+    dropped at its query-side bucket cap — those come back unmatched
+    (d2 = BIG); 0 on the dense/Pallas paths. `q_mask` marks the queries
+    that actually need answers: masked-out queries are excluded from the
+    overflow count (they return the unmatched default either way).
     """
     if bound is not None and (
         _resolve_engine(engine, p.shape[0], GRID_NN_THRESHOLD) == "grid"
@@ -237,11 +247,13 @@ def nearest_neighbor(
 
         return grid_nearest_neighbor(
             q, p, bound=bound, p_mask=p_mask, scan_cap=scan_cap,
+            q_mask=q_mask,
         )
     if _use_pallas():
         from mapmerge_tpu.pallas.nn import nearest_neighbor_pallas
 
-        return nearest_neighbor_pallas(q, p, p_mask)
+        idx, d2 = nearest_neighbor_pallas(q, p, p_mask)
+        return idx, d2, jnp.zeros((), jnp.int32)
     qc, pc = _center(q, p, p_mask)
 
     def tile_fn(q_slab):
@@ -251,7 +263,8 @@ def nearest_neighbor(
         idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
         return idx, jnp.min(d2, axis=-1)
 
-    return tiled_query(qc, pc, tile_fn, tile)
+    idx, d2 = tiled_query(qc, pc, tile_fn, tile)
+    return idx, d2, jnp.zeros((), jnp.int32)
 
 
 def radius_reduce(
@@ -264,14 +277,15 @@ def radius_reduce(
     reduce: str = "sum",
     engine: str = "auto",
     scan_cap: int = 128,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Reduce `values` (P, C) over each query's radius neighborhood.
 
-    reduce="sum": returns (count (Q,), sums (Q, C)) via one MXU matmul per
-    tile (w @ values with w the within-radius {0,1} matrix).
-    reduce="max": returns (count (Q,), maxes (Q, C)) via masked max.
-    The workhorse behind Harris response accumulation and non-max
+    reduce="sum": returns (count (Q,), sums (Q, C), overflow) via one MXU
+    matmul per tile (w @ values with w the within-radius {0,1} matrix).
+    reduce="max": returns (count (Q,), maxes (Q, C), overflow) via masked
+    max. The workhorse behind Harris response accumulation and non-max
     suppression — any per-neighborhood statistic without a kd-tree.
+    `overflow` counts grid-engine query-side bucket-cap drops (0 dense).
     """
     if _resolve_engine(engine, p.shape[0]) == "grid":
         from mapmerge_tpu.ops.grid import grid_radius_reduce
@@ -303,7 +317,8 @@ def radius_reduce(
             raise ValueError(f"unknown reduce: {reduce}")
         return count, out
 
-    return tiled_query(qc, pc, tile_fn, tile)
+    count, out = tiled_query(qc, pc, tile_fn, tile)
+    return count, out, jnp.zeros((), jnp.int32)
 
 
 def neighbor_moments(
@@ -314,13 +329,14 @@ def neighbor_moments(
     tile: int = 1024,
     engine: str = "auto",
     scan_cap: int = 128,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Zeroth/first/second moments of the radius neighborhood of each query.
 
-    Returns (count (Q,), mean (Q, 3), cov (Q, 3, 3)) where cov is the
-    neighborhood covariance — everything NormalEstimation needs
-    (reference src/features.cpp:168-179), computed entirely as MXU matmuls:
-    w @ 1, w @ p, and w @ (p ⊗ p) with w the {0,1} within-radius matrix.
+    Returns (count (Q,), mean (Q, 3), cov (Q, 3, 3), overflow () int32)
+    where cov is the neighborhood covariance — everything NormalEstimation
+    needs (reference src/features.cpp:168-179), computed entirely as MXU
+    matmuls: w @ 1, w @ p, and w @ (p ⊗ p) with w the {0,1} within-radius
+    matrix. `overflow` counts grid-engine query-bucket drops (0 dense).
     """
     if _resolve_engine(engine, p.shape[0]) == "grid":
         from mapmerge_tpu.ops.grid import grid_neighbor_moments
@@ -362,4 +378,4 @@ def neighbor_moments(
     else:
         w = p_mask.astype(p.dtype)
         shift = jnp.sum(p * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-    return count, mean + shift, cov
+    return count, mean + shift, cov, jnp.zeros((), jnp.int32)

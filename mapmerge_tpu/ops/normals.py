@@ -49,7 +49,9 @@ def compute_surface_normals(
     Reference contract: features.cpp:168-179 (radius search, PCA normal,
     flipNormalTowardsViewpoint with the default (0,0,0) viewpoint).
     """
-    count, _, cov = neighbor_moments(
+    # query overflow bounded by the feature-stage probe (self-query: the
+    # query grid is the point grid, at a narrower radius than the probe's)
+    count, _, cov, _ = neighbor_moments(
         cloud.xyz, cloud.xyz, radius, p_mask=cloud.mask, tile=tile,
         engine=engine, scan_cap=scan_cap,
     )

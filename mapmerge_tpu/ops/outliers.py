@@ -21,7 +21,10 @@ def remove_outliers(
     engine: str = "auto",
     scan_cap: int = 128,
 ) -> PointCloud:
-    counts = radius_count(
+    # query overflow is bounded by the feature-stage probe: queries are the
+    # indexed points themselves, so the query grid IS the point grid and
+    # its overflow is what extract_features' widest-radius probe reports
+    counts, _ = radius_count(
         cloud.xyz, cloud.xyz, radius, p_mask=cloud.mask, tile=tile,
         include_self=True, engine=engine, scan_cap=scan_cap,
     )

@@ -26,8 +26,9 @@ def transform_score(
     transform: jax.Array,
     max_range: float,
     tile: int = 1024,
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (score, coverage).
+    scan_cap: int = 256,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (score, coverage, scan_overflow).
 
     score: mean-square bounded NN distance, exactly the reference metric
     (lower is better; MAX_SCORE when nothing is in range).
@@ -35,13 +36,16 @@ def transform_score(
     max_range — the quantity PCL's validator silently drops by *excluding*
     out-of-range points. A grossly wrong transform can ace the score with
     5%% of points grazing a floor plane; coverage exposes it.
+    scan_overflow: moved-source query points the grid engine dropped at
+    its query-side bucket cap (counted out of the score as unmatched);
+    0 on the dense path. Callers surface it (no silent caps).
     """
     moved = tf.apply(transform, source.xyz)
     # bound = max_range: out-of-range matches are excluded below anyway,
     # and the bound lets large targets take the hash-grid path
-    _, d2 = nearest_neighbor(
+    _, d2, overflow = nearest_neighbor(
         moved, target.xyz, p_mask=target.mask, tile=tile,
-        bound=float(max_range), scan_cap=256,
+        bound=float(max_range), scan_cap=scan_cap, q_mask=source.mask,
     )
     within = source.mask & (d2 <= jnp.float32(max_range * max_range))
     num = jnp.sum(jnp.where(within, d2, 0.0))
@@ -49,7 +53,7 @@ def transform_score(
     total = jnp.maximum(jnp.sum(source.mask), 1)
     score = jnp.where(cnt > 0, num / jnp.maximum(cnt, 1), MAX_SCORE)
     coverage = cnt / total
-    return score, coverage
+    return score, coverage, overflow
 
 
 def confidence(

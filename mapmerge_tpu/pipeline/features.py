@@ -64,6 +64,10 @@ def extract_features_staged(
     Identical math to extract_features; intermediates of one stage are
     released before the next compiles/runs, bounding peak HBM."""
     resized, dropped = _jit_downsample(cloud, params)
+    # probe BEFORE outlier removal: the outlier pass itself queries this
+    # cloud (its query overflow silently zeroes counts), and every later
+    # stage queries a subset of it — so this grid upper-bounds them all
+    scan_overflow = _jit_overflow_probe(resized, params)
     resized = _jit_outliers(resized, params)
     normals = _jit_normals(resized, params)
     keypoints = _jit_keypoints(resized, normals, params)
@@ -71,7 +75,6 @@ def extract_features_staged(
     keypoints = dataclasses.replace(
         keypoints, mask=keypoints.mask & descriptors.valid
     )
-    scan_overflow = _jit_overflow_probe(resized, params)
     return CloudFeatures(
         cloud=resized,
         normals=normals,
@@ -149,7 +152,9 @@ def _jit_overflow_probe(resized, params):
         )
         return jnp.maximum(
             jnp.maximum(max_bucket_count(probe_f) - params.grid_scan_cap, 0),
-            jnp.maximum(max_bucket_count(probe_r) - 256, 0),
+            jnp.maximum(
+                max_bucket_count(probe_r) - params.registration_scan_cap, 0
+            ),
         ).astype(jnp.int32)
     return jnp.zeros((), jnp.int32)
 
@@ -166,6 +171,30 @@ def extract_features(cloud: PointCloud, params: MergeParams) -> CloudFeatures:
     )
     engine = params.neighbor_engine
     scan_cap = params.grid_scan_cap
+    # grid-engine overflow probe on the PRE-outlier cloud: the outlier pass
+    # itself queries this cloud (query overflow silently zeroes counts), and
+    # every later stage queries a subset — this grid upper-bounds them all.
+    # Probed radii: widest feature-stage cell (descriptor radius) vs
+    # scan_cap, widest registration cell (ICP/score bound) vs its cap.
+    from mapmerge_tpu.ops.neighbors import _resolve_engine
+
+    if _resolve_engine(engine, resized.capacity) == "grid":
+        from mapmerge_tpu.ops.grid import build_grid, max_bucket_count
+
+        probe_f = build_grid(
+            resized.xyz, resized.mask, params.descriptor_radius
+        )
+        probe_r = build_grid(
+            resized.xyz, resized.mask, params.max_correspondence_distance
+        )
+        scan_overflow = jnp.maximum(
+            jnp.maximum(max_bucket_count(probe_f) - scan_cap, 0),
+            jnp.maximum(
+                max_bucket_count(probe_r) - params.registration_scan_cap, 0
+            ),
+        ).astype(jnp.int32)
+    else:
+        scan_overflow = jnp.zeros((), jnp.int32)
     resized = remove_outliers(
         resized,
         params.descriptor_radius,
@@ -203,28 +232,6 @@ def extract_features(cloud: PointCloud, params: MergeParams) -> CloudFeatures:
         engine=engine,
         scan_cap=scan_cap,
     )
-    # grid-engine overflow probe: the fullest bucket of the widest-radius
-    # grid vs scan_cap (no silent neighborhood truncation)
-    from mapmerge_tpu.ops.neighbors import _resolve_engine
-
-    if _resolve_engine(engine, resized.capacity) == "grid":
-        from mapmerge_tpu.ops.grid import build_grid, max_bucket_count
-
-        # widest feature-stage cell (descriptor radius) vs scan_cap, and
-        # widest registration cell (ICP/score bound, which ops/icp.py and
-        # ops/score.py scan with capacity 256)
-        probe_f = build_grid(
-            resized.xyz, resized.mask, params.descriptor_radius
-        )
-        probe_r = build_grid(
-            resized.xyz, resized.mask, params.max_correspondence_distance
-        )
-        scan_overflow = jnp.maximum(
-            jnp.maximum(max_bucket_count(probe_f) - scan_cap, 0),
-            jnp.maximum(max_bucket_count(probe_r) - 256, 0),
-        ).astype(jnp.int32)
-    else:
-        scan_overflow = jnp.zeros((), jnp.int32)
     # the reference drops keypoints whose descriptors are invalid
     # (features.cpp:118-141); masks keep the arrays aligned here
     keypoints = dataclasses.replace(

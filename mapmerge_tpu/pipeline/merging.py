@@ -122,6 +122,25 @@ def _warn_dropped(features: CloudFeatures) -> None:
         )
 
 
+def _warn_pair_overflow(est) -> None:
+    """Surface query-side grid overflow from the pair stage (ICP /
+    transform-score queries of the moved SOURCE against the target grid —
+    a source denser than the target's buckets loses correspondences there,
+    invisible to the per-cloud feature probe)."""
+    import warnings
+
+    overflow = _fetch(est.scan_overflow)
+    if overflow.max(initial=0) > 0:
+        warnings.warn(
+            "grid neighbor engine: up to "
+            f"{int(overflow.max())} source query points per pair overflowed "
+            "the target grid's query-side bucket cap during ICP/scoring — "
+            "correspondences were dropped; raise MergeParams.grid_scan_cap "
+            "or coarsen resolution",
+            stacklevel=3,
+        )
+
+
 def estimate_maps_transforms(
     clouds: Sequence[PointCloud],
     params: MergeParams | None = None,
@@ -203,6 +222,7 @@ def estimate_maps_transforms(
         src_idx = jnp.asarray([p[0] for p in pairs], jnp.int32)
         tgt_idx = jnp.asarray([p[1] for p in pairs], jnp.int32)
         est = estimate_pairs_batch(features, src_idx, tgt_idx, params, keys)
+    _warn_pair_overflow(est)
 
     transforms = np.asarray(est.transform)
     confidences = np.asarray(est.confidence)
@@ -267,6 +287,7 @@ def _estimate_maps_transforms_sharded(
         jax.random.key(seed), jnp.arange(src_idx.shape[0])
     )
     est = estimate_pairs_sharded(features, src_idx, tgt_idx, params, keys, mesh)
+    _warn_pair_overflow(est)
 
     transforms = _fetch(est.transform)[:n_pairs]
     confidences = _fetch(est.confidence)[:n_pairs]

@@ -32,6 +32,13 @@ class PairEstimate:
     ok: jax.Array  # () bool
     confidence: jax.Array  # () float32 = 1/transformScore
     inlier_count: jax.Array  # () int32
+    #: worst count of source query points the grid neighbor engine dropped
+    #: at its query-side bucket cap during ICP/scoring — nonzero means some
+    #: correspondences were silently unavailable; surfaced as a warning by
+    #: estimate_maps_transforms (no silent caps)
+    scan_overflow: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
 
 def estimate_transform(
@@ -74,10 +81,11 @@ def estimate_transform(
     else:
         raise ValueError(f"unknown estimation method: {params.estimation_method}")
 
+    icp_overflow = jnp.zeros((), jnp.int32)
     if params.refine_transform:
         from mapmerge_tpu.ops.icp import icp_refine
 
-        refined, icp_ok = icp_refine(
+        refined, icp_ok, icp_overflow = icp_refine(
             source.cloud,
             target.cloud,
             initial=transform,
@@ -91,6 +99,7 @@ def estimate_transform(
             # floor lets wrong-surface correspondences bias the optimum
             # (2x resolution cost ~2.4deg on 50%-overlap strips)
             min_correspondence_distance=params.resolution,
+            scan_cap=params.registration_scan_cap,
         )
         # the reference refines whatever the first stage produced, even a
         # failed (zero) transform (matching.cpp:250-253); ICP from a zero
@@ -99,12 +108,13 @@ def estimate_transform(
         transform = jnp.where(ok & icp_ok, refined, transform)
 
     transform = jnp.where(ok, transform, tf.zero())
-    score, coverage = transform_score(
+    score, coverage, score_overflow = transform_score(
         source.cloud,
         target.cloud,
         transform,
         params.max_correspondence_distance,
         tile=params.neighbor_tile,
+        scan_cap=params.registration_scan_cap,
     )
     if params.robust_confidence:
         # coverage^2/score exposes low-overlap false alignments; the
@@ -116,9 +126,17 @@ def estimate_transform(
         conf = confidence_fn(score, coverage) * jnp.maximum(inliers, 1)
     else:
         conf = confidence_fn(score)
+    # failed pairs score a zero transform (all source points collapse to
+    # the origin's bucket) — their overflow is an artifact of scoring a
+    # non-answer, not a dropped correspondence; the zero matrix is already
+    # the in-band failure signal, so gate the counter on ok
+    overflow = jnp.where(
+        ok, jnp.maximum(icp_overflow, score_overflow), jnp.int32(0)
+    )
     return PairEstimate(
         transform=transform,
         ok=ok,
         confidence=conf,
         inlier_count=inliers,
+        scan_overflow=overflow,
     )

@@ -9,8 +9,14 @@ merged map to --output and printing pose updates (the tf-broadcast analog).
 
 Usage:
   python -m mapmerge_tpu.tools.node_cli --watch-dir maps/ \
-      [--output merged.pcd] [--compositing-rate 0.3] [--discovery-rate 0.05]
+      [--config params.yaml|json] [--output merged.pcd]
+      [--compositing-rate 0.3] [--discovery-rate 0.05]
       [--estimation-rate 0.01] [--param value ...]
+
+`--config` sources everything (node rates, watch dir, output, every merge
+param) from one YAML/JSON file — the analog of the reference's
+launch/map_merge.launch:1-15, which feeds node rates and private params to
+the node from a single launch file. Explicit CLI flags override the file.
 """
 
 from __future__ import annotations
@@ -21,37 +27,92 @@ import time
 
 import numpy as np
 
+#: node-level keys a config file may set (map_merge.launch:5-13 analog:
+#: rates + topology; everything else in the file is a MergeParams field)
+NODE_KEYS = (
+    "watch_dir",
+    "output",
+    "compositing_rate",
+    "discovery_rate",
+    "estimation_rate",
+    "run_seconds",
+)
 
-def main(argv: list[str] | None = None) -> int:
-    argv = list(sys.argv[1:] if argv is None else argv)
+
+def load_config(path: str) -> dict:
+    """Read a YAML or JSON params file into a flat dict."""
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        data = yaml.safe_load(text)
+    else:
+        data = json.loads(text)
+    if not isinstance(data, dict):
+        raise ValueError(f"config {path}: expected a mapping at top level")
+    return data
+
+
+def resolve_config(argv: list[str]):
+    """Resolve node settings + merge params from CLI args and an optional
+    `--config` YAML/JSON file. CLI flags override file values, which
+    override defaults (launch-file semantics: map_merge.launch sources
+    rates + private params once; the CLI can still tweak fields on top).
+
+    Returns (node_settings dict, MergeParams)."""
+    from mapmerge_tpu.core.params import MergeParams
+
+    cfg: dict = {}
+    if "--config" in argv:
+        cfg = load_config(argv[argv.index("--config") + 1])
 
     def opt(name: str, default):
         if name in argv:
             return type(default)(argv[argv.index(name) + 1])
+        key = name[2:].replace("-", "_")
+        if key in cfg:
+            return type(default)(cfg[key])
         return default
 
-    watch_dir = opt("--watch-dir", "")
-    if not watch_dir:
-        print("--watch-dir is required", file=sys.stderr)
-        return 1
-    output = opt("--output", "merged.pcd")
-    rates = dict(
+    node_settings = dict(
+        watch_dir=opt("--watch-dir", ""),
+        output=opt("--output", "merged.pcd"),
         compositing_rate=opt("--compositing-rate", 0.3),
         discovery_rate=opt("--discovery-rate", 0.05),
         estimation_rate=opt("--estimation-rate", 0.01),
+        run_seconds=opt("--run-seconds", 0.0),  # 0 = until SIGINT
     )
-    run_seconds = opt("--run-seconds", 0.0)  # 0 = until SIGINT
+    merge_cfg = {k: v for k, v in cfg.items() if k not in NODE_KEYS}
+    merge_cfg.update(MergeParams.command_line_overrides(argv))
+    return node_settings, MergeParams.from_dict(merge_cfg)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    settings, params = resolve_config(argv)
+    watch_dir = settings["watch_dir"]
+    if not watch_dir:
+        print("--watch-dir is required", file=sys.stderr)
+        return 1
+    output = settings["output"]
+    rates = {
+        k: settings[k]
+        for k in ("compositing_rate", "discovery_rate", "estimation_rate")
+    }
+    run_seconds = settings["run_seconds"]
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
-    from mapmerge_tpu.core.params import MergeParams
     from mapmerge_tpu.io.pcd import write_pcd
     from mapmerge_tpu.runtime.node import MapMergeNode
     from mapmerge_tpu.runtime.transport import DirectoryTransport
 
-    params = MergeParams.from_command_line(argv)
     print(params)
 
     def on_pose(robot: str, t: np.ndarray):

@@ -8,12 +8,13 @@ stage, BOTH estimation methods compared, and an ICP-refined final result.
 
 Instead of interactive PCL viewer windows (unavailable headless), each
 stage can dump its intermediate cloud as a .pcd into --dump-dir for offline
-inspection: downsampled, inliers, keypoints (colored by response), and the
-aligned overlay.
+inspection, and --render DIR writes PNG renders of the five reference
+views (cloud, normals, keypoints, correspondence lines, aligned overlay —
+visualise.cpp:20-95) via tools/render.py.
 
 Usage:
   python -m mapmerge_tpu.tools.registration_visualisation a.pcd b.pcd \
-      [--param value ...] [--dump-dir DIR]
+      [--param value ...] [--dump-dir DIR] [--render DIR]
 """
 
 from __future__ import annotations
@@ -38,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     if "--dump-dir" in argv:
         dump_dir = argv[argv.index("--dump-dir") + 1]
         os.makedirs(dump_dir, exist_ok=True)
+    render_dir = None
+    if "--render" in argv:
+        render_dir = argv[argv.index("--render") + 1]
+        os.makedirs(render_dir, exist_ok=True)
 
     import jax
     import jax.numpy as jnp
@@ -143,6 +148,33 @@ def main(argv: list[str] | None = None) -> int:
         )
         stages[i] = (inliers, normals, keypoints, descriptors)
 
+        if render_dir:
+            from mapmerge_tpu.tools import render as rnd
+
+            xyz_np = np.asarray(inliers.xyz)[np.asarray(inliers.mask)]
+            rgb_np = np.asarray(inliers.rgb)[np.asarray(inliers.mask)]
+            paths = [
+                rnd.render_cloud(
+                    os.path.join(render_dir, f"{tag}_cloud.png"),
+                    xyz_np, rgb_np, title=f"{tag} cloud",
+                ),
+                rnd.render_normals(
+                    os.path.join(render_dir, f"{tag}_normals.png"),
+                    np.asarray(inliers.xyz),
+                    np.asarray(normals.normals),
+                    valid=np.asarray(normals.valid & inliers.mask),
+                    title=f"{tag} normals",
+                ),
+                rnd.render_keypoints(
+                    os.path.join(render_dir, f"{tag}_keypoints.png"),
+                    xyz_np, np.asarray(keypoints.xyz),
+                    kp_mask=np.asarray(keypoints.mask),
+                    title=f"{tag} keypoints",
+                ),
+            ]
+            for p in paths:
+                print(f"  rendered {p}")
+
     (c0, n0, k0, d0), (c1, n1, k1, d1) = stages[0], stages[1]
 
     # --- MATCHING path (matching.cpp:117-137 analog) ---
@@ -165,7 +197,7 @@ def main(argv: list[str] | None = None) -> int:
                 key=jax.random.key(0),
             )
         )
-    score_m, cov_m = transform_score(
+    score_m, cov_m, _ = transform_score(
         c0, c1, res.transform, params.max_correspondence_distance,
         tile=params.neighbor_tile,
     )
@@ -174,6 +206,21 @@ def main(argv: list[str] | None = None) -> int:
         f"score={float(score_m):.6f} coverage={float(cov_m):.2f}"
     )
     print(np.array2string(np.asarray(res.transform), precision=4))
+
+    if render_dir:
+        from mapmerge_tpu.tools import render as rnd
+
+        valid_np = np.asarray(corr.valid)
+        src_idx = np.nonzero(valid_np)[0]
+        pairs = np.stack(
+            [src_idx, np.asarray(corr.target)[src_idx]], axis=1
+        )
+        p = rnd.render_correspondences(
+            os.path.join(render_dir, "correspondences.png"),
+            np.asarray(k0.xyz), np.asarray(k1.xyz), pairs,
+            inlier_mask=np.asarray(res.inliers)[src_idx],
+        )
+        print(f"  rendered {p}")
 
     # --- SAC-IA path for comparison (matching.cpp:139-154 analog) ---
     with timer.stage("sacia"):
@@ -186,7 +233,7 @@ def main(argv: list[str] | None = None) -> int:
                 key=jax.random.key(1),
             )
         )
-    score_s, cov_s = transform_score(
+    score_s, cov_s, _ = transform_score(
         c0, c1, t_sac, params.max_correspondence_distance,
         tile=params.neighbor_tile,
     )
@@ -197,7 +244,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # --- ICP refinement of the MATCHING result (matching.cpp:156-171) ---
     with timer.stage("icp"):
-        refined, icp_ok = timer.block(
+        refined, icp_ok, _ = timer.block(
             icp_refine(
                 c0, c1, res.transform,
                 max_correspondence_distance=params.max_correspondence_distance,
@@ -208,7 +255,7 @@ def main(argv: list[str] | None = None) -> int:
                 min_correspondence_distance=params.resolution,
             )
         )
-    score_i, cov_i = transform_score(
+    score_i, cov_i, _ = transform_score(
         c0, c1, refined, params.max_correspondence_distance,
         tile=params.neighbor_tile,
     )
@@ -217,6 +264,16 @@ def main(argv: list[str] | None = None) -> int:
         f"coverage={float(cov_i):.2f}"
     )
     print(np.array2string(np.asarray(refined), precision=4))
+
+    if render_dir:
+        from mapmerge_tpu.tools import render as rnd
+
+        moved_xyz = np.asarray(tf.apply(refined, c0.xyz))[np.asarray(c0.mask)]
+        p = rnd.render_alignment(
+            os.path.join(render_dir, "aligned_overlay.png"),
+            moved_xyz, np.asarray(c1.xyz)[np.asarray(c1.mask)],
+        )
+        print(f"  rendered {p}")
 
     if dump_dir:
         moved = PointCloud(

@@ -28,7 +28,7 @@ class TestICP:
         )
         # start from a perturbed guess
         guess = se3(rotation_z(0.3 + 0.05), [0.7, -0.3, 0.15])
-        refined, ok = icp_refine(
+        refined, ok, _ = icp_refine(
             scene_cloud, moved, jnp.asarray(guess),
             max_correspondence_distance=1.0,
             outlier_rejection_threshold=0.5,
@@ -44,7 +44,7 @@ class TestICP:
         assert tr_err < 0.05
 
     def test_zero_guess_fails(self, scene_cloud):
-        refined, ok = icp_refine(
+        refined, ok, _ = icp_refine(
             scene_cloud, scene_cloud, tf.zero(),
             max_correspondence_distance=0.5,
             outlier_rejection_threshold=0.25,
@@ -55,7 +55,7 @@ class TestICP:
         assert not bool(ok)
 
     def test_identity_stays_identity(self, scene_cloud):
-        refined, ok = icp_refine(
+        refined, ok, _ = icp_refine(
             scene_cloud, scene_cloud, tf.identity(),
             max_correspondence_distance=1.0,
             outlier_rejection_threshold=0.5,

@@ -31,20 +31,20 @@ class TestNeighbors:
     def test_radius_count_oracle(self, rng):
         pc, xyz, _ = random_cloud(rng, 200)
         r = 0.4
-        counts = np.asarray(radius_count(pc.xyz, pc.xyz, r, pc.mask, tile=64))
+        counts = np.asarray(radius_count(pc.xyz, pc.xyz, r, pc.mask, tile=64)[0])
         d = np.linalg.norm(xyz[:, None] - xyz[None, :], axis=-1)
         oracle = (d <= r).sum(axis=1)
         np.testing.assert_array_equal(counts, oracle)
 
     def test_radius_count_masks_padding(self, rng):
         pc, xyz, _ = random_cloud(rng, 50, cap=128)
-        counts = np.asarray(radius_count(pc.xyz, pc.xyz, 10.0, pc.mask, tile=64))
+        counts = np.asarray(radius_count(pc.xyz, pc.xyz, 10.0, pc.mask, tile=64)[0])
         assert (counts[:50] == 50).all()
 
     def test_radius_neighbors_oracle(self, rng):
         pc, xyz, _ = random_cloud(rng, 100)
         r, k = 0.5, 12
-        idx, d2, valid = radius_neighbors(pc.xyz, pc.xyz, r, k, pc.mask, tile=32)
+        idx, d2, valid, _ = radius_neighbors(pc.xyz, pc.xyz, r, k, pc.mask, tile=32)
         idx, d2, valid = map(np.asarray, (idx, d2, valid))
         d = np.linalg.norm(xyz[:, None] - xyz[None, :], axis=-1) ** 2
         for q in range(100):
@@ -62,7 +62,7 @@ class TestNeighbors:
         pc_p, p_xyz, _ = random_cloud(rng, 200, cap=256)
         import jax.numpy as jnp
 
-        idx, d2 = nearest_neighbor(jnp.asarray(q_xyz), pc_p.xyz, pc_p.mask, tile=32)
+        idx, d2, _ = nearest_neighbor(jnp.asarray(q_xyz), pc_p.xyz, pc_p.mask, tile=32)
         idx, d2 = np.asarray(idx), np.asarray(d2)
         d = np.linalg.norm(q_xyz[:, None] - p_xyz[None, :], axis=-1) ** 2
         oracle_idx = d.argmin(axis=1)
@@ -72,7 +72,7 @@ class TestNeighbors:
     def test_neighbor_moments_oracle(self, rng):
         pc, xyz, _ = random_cloud(rng, 150)
         r = 0.6
-        count, mean, cov = neighbor_moments(pc.xyz, pc.xyz, r, pc.mask, tile=64)
+        count, mean, cov, _ = neighbor_moments(pc.xyz, pc.xyz, r, pc.mask, tile=64)
         count, mean, cov = map(np.asarray, (count, mean, cov))
         d = np.linalg.norm(xyz[:, None] - xyz[None, :], axis=-1)
         for q in range(0, 150, 17):

@@ -50,7 +50,7 @@ class TestPallasNN:
         idx_p, d2_p = nearest_neighbor_pallas(
             jnp.asarray(q), jnp.asarray(p), jnp.asarray(mask), interpret=True
         )
-        idx_x, d2_x = jax.jit(nearest_neighbor)(
+        idx_x, d2_x, _ = jax.jit(nearest_neighbor)(
             jnp.asarray(q), jnp.asarray(p), jnp.asarray(mask)
         )
         np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
