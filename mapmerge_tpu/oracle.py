@@ -376,6 +376,261 @@ def pfh_np(xyz, normals, nvalid, kp_xyz, radius, tree):
     return desc.astype(np.float32), valid
 
 
+def pfhrgb_np(xyz, rgb, normals, nvalid, kp_xyz, radius, tree):
+    """pcl::PFHRGBEstimation (250-d, dispatch_descriptors.h:39): the PFH
+    joint geometry histogram plus a second 5^3 joint histogram of the
+    per-channel color ratios c1/c2 binned over [0, 2)
+    (computeRGBPairFeatures semantics)."""
+    split = 5
+    k = len(kp_xyz)
+    desc = np.zeros((k, 250))
+    valid = np.zeros(k, bool)
+    lists = tree.query_ball_point(kp_xyz, radius)
+    for q, nb in enumerate(lists):
+        nb = np.asarray(nb, np.int64)
+        nb = nb[nvalid[nb]]
+        m = len(nb)
+        if m < 2:
+            continue
+        p = xyz[nb]
+        nn = normals[nb]
+        theta, alpha, phi, _, ok = _pair_features_np(
+            p[:, None, :], nn[:, None, :], p[None, :, :], nn[None, :, :]
+        )
+        w = ok.astype(np.float64).reshape(-1)
+
+        def joint_hist(b0, b1, b2):
+            joint = (b0 + split * b1 + split * split * b2).reshape(-1)
+            hist = np.bincount(joint, weights=w, minlength=125)[:125]
+            tot = hist.sum()
+            return hist * (100.0 / tot) if tot > 0 else hist
+
+        bt = np.clip(
+            np.floor((theta + np.pi) / (2 * np.pi) * split), 0, split - 1
+        ).astype(np.int64)
+        ba = np.clip(np.floor((alpha + 1) / 2 * split), 0, split - 1).astype(
+            np.int64
+        )
+        bp = np.clip(np.floor((phi + 1) / 2 * split), 0, split - 1).astype(
+            np.int64
+        )
+        geo = joint_hist(bt, ba, bp)
+
+        c = rgb[nb]
+        ratio = c[:, None, :] / np.maximum(c[None, :, :], 1e-4)
+        bc = np.clip(np.floor(ratio / 2.0 * split), 0, split - 1).astype(
+            np.int64
+        )
+        col = joint_hist(bc[..., 0], bc[..., 1], bc[..., 2])
+
+        desc[q] = np.concatenate([geo, col])
+        valid[q] = geo.sum() > 0
+    return desc.astype(np.float32), valid
+
+
+def rsd_np(xyz, normals, nvalid, kp_xyz, radius, tree,
+           angle_bins=5, plane_radius=0.2):
+    """pcl::RSDEstimation (dispatch_descriptors.h:43): principal curvature
+    radii (r_min, r_max) from d(alpha) ~= 2 r sin(alpha/2), neighbors binned
+    by normal angle, min distance per bin, clamped at plane_radius."""
+    k = len(kp_xyz)
+    desc = np.zeros((k, 2))
+    valid = np.zeros(k, bool)
+    lists = tree.query_ball_point(kp_xyz, radius)
+    half_pi = np.pi / 2.0
+    centers = (np.arange(angle_bins) + 0.5) / angle_bins * half_pi
+    for q, nb in enumerate(lists):
+        nb = np.asarray(nb, np.int64)
+        nb = nb[nvalid[nb]]
+        if len(nb) < 3:
+            continue
+        d = np.linalg.norm(xyz[nb] - kp_xyz[q], axis=1)
+        order = np.argsort(d)
+        nb, d = nb[order], d[order]
+        kp_nrm = normals[nb[0]]  # nearest surface point's normal
+        cos_a = np.clip(np.abs(normals[nb] @ kp_nrm), 0.0, 1.0)
+        alpha = np.arccos(cos_a)
+        abin = np.clip(
+            np.floor(alpha / half_pi * angle_bins), 0, angle_bins - 1
+        ).astype(np.int64)
+        r_est = []
+        for b in range(angle_bins):
+            sel = abin == b
+            if not sel.any():
+                continue
+            dmin = d[sel].min()
+            r_est.append(
+                min(dmin / max(2.0 * np.sin(centers[b] / 2.0), 1e-6),
+                    plane_radius)
+            )
+        if not r_est:
+            desc[q] = (plane_radius, plane_radius)
+        else:
+            desc[q] = (min(r_est), max(r_est))
+        valid[q] = True
+    return desc.astype(np.float32), valid
+
+
+def _shot_lrf_np(kp, nbr, radius):
+    """SHOT local reference frame: (radius - d)-weighted covariance EVD
+    with majority-vote sign disambiguation
+    (pcl SHOTLocalReferenceFrameEstimation). Returns (x, y, z, ok)."""
+    off = nbr - kp
+    d = np.linalg.norm(off, axis=1)
+    w = np.maximum(radius - d, 0.0)
+    wsum = w.sum()
+    if wsum <= 0:
+        return None
+    cov = (off * w[:, None]).T @ off / wsum
+    lam, v = np.linalg.eigh(cov)  # ascending
+    if lam[2] <= 1e-12:
+        return None
+    x = v[:, 2]
+    z = v[:, 0]
+    if np.sum(np.sign(off @ x) * w) < 0:
+        x = -x
+    if np.sum(np.sign(off @ z) * w) < 0:
+        z = -z
+    x = x - (x @ z) * z
+    xn = np.linalg.norm(x)
+    if xn < 1e-6:
+        return None
+    x = x / xn
+    y = np.cross(z, x)
+    return x, y, z
+
+
+def _rgb_to_lab_np(rgb):
+    """sRGB [0,1] -> CIELab (D65)."""
+    c = np.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+    m = np.array(
+        [
+            [0.412453, 0.357580, 0.180423],
+            [0.212671, 0.715160, 0.072169],
+            [0.019334, 0.119193, 0.950227],
+        ]
+    )
+    xyz = c @ m.T
+    t = xyz / np.array([0.950456, 1.0, 1.088754])
+    f = np.where(t > 0.008856, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+    l = np.where(
+        t[..., 1] > 0.008856, 116.0 * np.cbrt(t[..., 1]) - 16.0,
+        903.3 * t[..., 1],
+    )
+    a = 500.0 * (f[..., 0] - f[..., 1])
+    b = 200.0 * (f[..., 1] - f[..., 2])
+    return np.stack([l, a, b], axis=-1)
+
+
+def shot_np(xyz, rgb, normals, nvalid, kp_xyz, radius, tree):
+    """pcl::SHOTColorEstimation -> SHOT1344 (dispatch_descriptors.h:44-46):
+    32 spatial volumes (8 azimuth x 2 elevation x 2 radial) x 11 shape bins
+    over cos(n_j, z_lrf) + 32 x 31 color bins over normalized CIELab L1
+    distance, L2-normalized. Hard bins (same documented deviation from
+    PCL's quadrilinear soft-binning as ops/descriptors/shot.py — parity is
+    judged at the POSE level)."""
+    nk = len(kp_xyz)
+    desc = np.zeros((nk, 1344))
+    valid = np.zeros(nk, bool)
+    lists = tree.query_ball_point(kp_xyz, radius)
+    lab_all = _rgb_to_lab_np(rgb)
+    span = np.array([100.0, 256.0, 256.0])
+    for q, nb in enumerate(lists):
+        nb = np.asarray(nb, np.int64)
+        nb = nb[nvalid[nb]]
+        if len(nb) < 5:
+            continue
+        d = np.linalg.norm(xyz[nb] - kp_xyz[q], axis=1)
+        order = np.argsort(d)
+        nb, d = nb[order], d[order]
+        lrf = _shot_lrf_np(kp_xyz[q], xyz[nb], radius)
+        if lrf is None:
+            continue
+        x, y, z = lrf
+        off = xyz[nb] - kp_xyz[q]
+        azimuth = np.arctan2(off @ y, off @ x)
+        a_bin = np.clip(
+            np.floor((azimuth + np.pi) / (2 * np.pi) * 8), 0, 7
+        ).astype(np.int64)
+        e_bin = (off @ z >= 0).astype(np.int64)
+        r_bin = (d >= radius / 2.0).astype(np.int64)
+        vol = a_bin * 4 + e_bin * 2 + r_bin
+
+        cos_t = np.clip(normals[nb] @ z, -1.0, 1.0)
+        s_bin = np.clip(np.floor((cos_t + 1.0) / 2.0 * 11), 0, 10).astype(
+            np.int64
+        )
+        hist_s = np.bincount(vol * 11 + s_bin, minlength=352)[:352]
+
+        lab_k = lab_all[nb[0]]
+        dcol = (np.abs(lab_all[nb] - lab_k) / span).sum(-1) / 3.0
+        c_bin = np.clip(np.floor(dcol * 31 / 0.5), 0, 30).astype(np.int64)
+        hist_c = np.bincount(vol * 31 + c_bin, minlength=992)[:992]
+
+        h = np.concatenate([hist_s, hist_c]).astype(np.float64)
+        norm = np.linalg.norm(h)
+        if norm > 0:
+            desc[q] = h / norm
+            valid[q] = True
+    return desc.astype(np.float32), valid
+
+
+def sc3d_np(xyz, normals, nvalid, kp_xyz, radius, tree):
+    """pcl::ShapeContext3DEstimation -> ShapeContext1980
+    (dispatch_descriptors.h:47-48): 12 azimuth x 11 elevation x 15
+    log-radial bins, neighbor weight 1/(density * cbrt(bin_volume)),
+    min_radius = 0.1 r, density radius = r/5 (PCL defaults). Grid sits in
+    the repeatable SHOT LRF (the USC fix for PCL's random azimuth — same
+    documented deviation as ops/descriptors/sc3d.py)."""
+    nk = len(kp_xyz)
+    naz, nel, nrad = 12, 11, 15
+    desc = np.zeros((nk, naz * nel * nrad))
+    valid = np.zeros(nk, bool)
+    min_radius = 0.1 * radius
+    log_ratio = np.log(radius / min_radius)
+    edges = min_radius * np.exp(np.arange(nrad + 1) / nrad * log_ratio)
+    shell_vol = (4.0 / 3.0) * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    bin_vol = shell_vol / (naz * nel)
+    density = np.asarray(
+        [len(v) for v in tree.query_ball_point(xyz, radius / 5.0)], np.float64
+    )
+    lists = tree.query_ball_point(kp_xyz, radius)
+    for q, nb in enumerate(lists):
+        nb = np.asarray(nb, np.int64)
+        nb = nb[nvalid[nb]]
+        if len(nb) < 5:
+            continue
+        lrf = _shot_lrf_np(kp_xyz[q], xyz[nb], radius)
+        if lrf is None:
+            continue
+        x, y, z = lrf
+        off = xyz[nb] - kp_xyz[q]
+        d = np.linalg.norm(off, axis=1)
+        lx, ly, lz = off @ x, off @ y, off @ z
+        azimuth = np.arctan2(ly, lx)
+        a_bin = np.clip(
+            np.floor((azimuth + np.pi) / (2 * np.pi) * naz), 0, naz - 1
+        ).astype(np.int64)
+        r_xy = np.sqrt(np.maximum(lx * lx + ly * ly, 1e-12))
+        elevation = np.arctan2(r_xy, lz)
+        e_bin = np.clip(
+            np.floor(elevation / np.pi * nel), 0, nel - 1
+        ).astype(np.int64)
+        r_cont = np.log(np.maximum(d, 1e-9) / min_radius) / log_ratio * nrad
+        r_bin = np.clip(np.floor(r_cont), 0, nrad - 1).astype(np.int64)
+        w = 1.0 / (
+            np.cbrt(np.maximum(bin_vol[r_bin], 1e-12))
+            * np.maximum(density[nb], 1.0)
+        )
+        joint = (a_bin * nel + e_bin) * nrad + r_bin
+        h = np.bincount(joint, weights=w, minlength=desc.shape[1])
+        norm = np.linalg.norm(h)
+        if norm > 0:
+            desc[q] = h / norm
+            valid[q] = True
+    return desc.astype(np.float32), valid
+
+
 # ------------------------------------------------------------ L2 matching
 def find_correspondences_np(src_desc, tgt_desc, k):
     """Reciprocal k-NN cross-match, first-match-wins
@@ -426,6 +681,47 @@ def ransac_np(src_kp, tgt_kp, corr, inlier_threshold, max_iterations, rng):
     if not ok:
         return np.zeros((4, 4), np.float32), 0
     return t, best_count
+
+
+def sacia_np(
+    src_kp, src_desc, tgt_kp, tgt_desc,
+    min_sample_distance, max_correspondence_distance, max_iterations, rng,
+    k_features=10,
+):
+    """pcl::SampleConsensusInitialAlignment as the reference configures it
+    (matching.cpp:142-194, 242-247): per iteration, 3 source keypoints with
+    pairwise distance >= min_sample_distance, each matched to a random one
+    of its k_features nearest target descriptors, rigid solve, scored by
+    the truncated error sum(min(nn_dist, max_correspondence_distance)) over
+    all source keypoints; best (lowest error) wins."""
+    if len(src_kp) < 3 or len(tgt_kp) < 3:
+        return np.zeros((4, 4), np.float32)
+    kf = min(k_features, len(tgt_desc))
+    d_tree = cKDTree(tgt_desc)
+    _, feat_nn = d_tree.query(src_desc, k=kf)
+    feat_nn = feat_nn.reshape(len(src_desc), -1)
+    xyz_tree = cKDTree(tgt_kp)
+    best_err, best_t = np.inf, np.zeros((4, 4), np.float32)
+    min_d2 = min_sample_distance**2
+    for _ in range(max_iterations):
+        # selectSamples: rejection-sample a triple obeying the min distance
+        for _attempt in range(100):
+            pick = rng.choice(len(src_kp), 3, replace=False)
+            p = src_kp[pick]
+            d2 = ((p[:, None] - p[None, :]) ** 2).sum(-1)
+            if d2[np.triu_indices(3, 1)].min() >= min_d2:
+                break
+        else:
+            continue
+        tgt_pick = feat_nn[pick, rng.integers(0, kf, 3)]
+        t, ok = _kabsch_np(src_kp[pick], tgt_kp[tgt_pick])
+        if not ok:
+            continue
+        d, _ = xyz_tree.query(_apply(t, src_kp))
+        err = np.minimum(d, max_correspondence_distance).sum()
+        if err < best_err:
+            best_err, best_t = err, t
+    return best_t
 
 
 def icp_np(
@@ -515,9 +811,25 @@ def extract_features_np(xyz, rgb, params: MergeParams, timings=None):
         desc, dvalid = pfh_np(
             xyz, normals, nvalid, kp_xyz, params.descriptor_radius, tree
         )
+    elif params.descriptor_type == Descriptor.PFHRGB:
+        desc, dvalid = pfhrgb_np(
+            xyz, rgb, normals, nvalid, kp_xyz, params.descriptor_radius, tree
+        )
+    elif params.descriptor_type == Descriptor.RSD:
+        desc, dvalid = rsd_np(
+            xyz, normals, nvalid, kp_xyz, params.descriptor_radius, tree
+        )
+    elif params.descriptor_type == Descriptor.SHOT:
+        desc, dvalid = shot_np(
+            xyz, rgb, normals, nvalid, kp_xyz, params.descriptor_radius, tree
+        )
+    elif params.descriptor_type == Descriptor.SC3D:
+        desc, dvalid = sc3d_np(
+            xyz, normals, nvalid, kp_xyz, params.descriptor_radius, tree
+        )
     else:
         raise NotImplementedError(
-            f"oracle supports PFH/FPFH, got {params.descriptor_type}"
+            f"oracle has no {params.descriptor_type} implementation"
         )
     # drop keypoints with invalid descriptors (features.cpp:118-141)
     kp_xyz = kp_xyz[dvalid]
@@ -539,13 +851,24 @@ def estimate_transform_np(
     xyz_s, _, kp_s, desc_s = feats_s
     xyz_t, _, kp_t, desc_t = feats_t
     t0 = time.perf_counter()
-    if params.estimation_method != EstimationMethod.MATCHING:
-        raise NotImplementedError("oracle supports MATCHING")
-    corr, _ = find_correspondences_np(desc_s, desc_t, params.matching_k)
-    t1 = time.perf_counter()
-    transform, inliers = ransac_np(
-        kp_s, kp_t, corr, params.inlier_threshold, params.max_iterations, rng
-    )
+    if params.estimation_method == EstimationMethod.MATCHING:
+        corr, _ = find_correspondences_np(desc_s, desc_t, params.matching_k)
+        t1 = time.perf_counter()
+        transform, inliers = ransac_np(
+            kp_s, kp_t, corr, params.inlier_threshold,
+            params.max_iterations, rng,
+        )
+    elif params.estimation_method == EstimationMethod.SAC_IA:
+        # matching.cpp:242-247: min_sample_distance = inlier_threshold
+        t1 = time.perf_counter()
+        transform = sacia_np(
+            kp_s, desc_s, kp_t, desc_t, params.inlier_threshold,
+            params.max_correspondence_distance, params.max_iterations, rng,
+        )
+    else:
+        raise NotImplementedError(
+            f"oracle has no {params.estimation_method} implementation"
+        )
     t2 = time.perf_counter()
     if params.refine_transform and transform.any():
         transform = icp_np(

@@ -132,9 +132,33 @@ class MapMergeNode:
         with self._lock:
             return dict(self._stats)
 
+    def _global_maps(self, kept: list[str], raw: list):
+        """Union of all hosts' snapshots when the node's mesh spans
+        processes (per-host ingest -> DCN exchange -> identical SPMD input
+        on every host; parallel/multihost.py). Single-process: identity.
+
+        COLLECTIVE in multi-process mode — every host's node must drive
+        its estimation/compositing ticks in lockstep (the runner below is
+        for single-process use; distributed deployments tick the jobs from
+        a coordinator-driven loop)."""
+        import jax
+
+        if self.mesh is None or jax.process_count() == 1:
+            return kept, raw
+        from mapmerge_tpu.parallel import multihost
+
+        merged = multihost.allgather_robot_maps(
+            {r: c for r, c in zip(kept, raw)}
+        )
+        names = sorted(merged)
+        return names, [merged[r] for r in names]
+
     def transforms_estimation(self) -> None:
         robots = self.get_robots()
         kept, raw = self._snapshot_clouds(robots)
+        # global exchange BEFORE the empty-guard: the collective must run
+        # on every process even when this host has no maps yet
+        kept, raw = self._global_maps(kept, raw)
         if len(kept) == 0:
             return
         cap = max(len(x) for x, _ in raw)
@@ -171,23 +195,30 @@ class MapMergeNode:
 
     def map_compositing(self) -> None:
         with self._lock:
-            robots = list(self._estimated_robots)
-            transforms = [self._transforms.get(r) for r in robots]
+            est_robots = list(self._estimated_robots)
+            transforms = {r: self._transforms.get(r) for r in est_robots}
+        kept, raw = self._snapshot_clouds(self.get_robots())
+        # collective first (lockstep across hosts), guards after
+        kept, raw = self._global_maps(kept, raw)
+        if not est_robots:
+            return
+        have = dict(zip(kept, raw))
+        # align with the maps known at the last estimation
+        # (clouds.resize semantics, map_merge_node.cpp:114-116)
+        robots = [
+            r for r in est_robots
+            if r in have and transforms[r] is not None
+        ]
         if not robots:
             return
-        kept, raw = self._snapshot_clouds(robots)
-        transforms = [
-            t for r, t in zip(robots, transforms) if r in kept and t is not None
-        ]
-        raw = [c for r, c in zip(robots, raw) if r in kept]
-        if not raw:
-            return
-        cap = max(len(x) for x, _ in raw)
+        raw_sel = [have[r] for r in robots]
+        cap = max(len(x) for x, _ in raw_sel)
         clouds = [
-            PointCloud.from_arrays(x, r, capacity=cap) for x, r in raw
+            PointCloud.from_arrays(x, r, capacity=cap) for x, r in raw_sel
         ]
         merged = compose_maps(
-            clouds, transforms, self.params.output_resolution
+            clouds, [transforms[r] for r in robots],
+            self.params.output_resolution,
         )
         with self._lock:
             self._merged = merged

@@ -65,6 +65,77 @@ class TestSmallSceneParity:
 
 
 @pytest.mark.slow
+class TestDescriptorMethodParity:
+    """Pose parity for the rest of the descriptor x method surface
+    (VERDICT r2 item 5): PFHRGB/SHOT/SC3D via MATCHING and FPFH/RSD via
+    SAC_IA, each against the reference-shaped numpy oracle
+    (dispatch_descriptors.h:38-48, matching.cpp:142-194).
+
+    SHOT/SC3D/SAC-IA need a denser, corner-rich scene than the FPFH test:
+    their LRF sign votes (and SAC-IA's truncated-error argmin) are only
+    stable when keypoint neighborhoods are well populated — on sparse
+    scenes BOTH pipelines degrade, which is fidelity, not a bug. RSD is
+    matchable only through SAC-IA (2-d radii can't disambiguate reciprocal
+    k-NN; the TPU suite excludes it from MATCHABLE for the same reason)."""
+
+    @staticmethod
+    def _views():
+        rng = np.random.default_rng(7)
+        xyz, rgb = make_scene(rng, n_boxes=12, extent=8.0, density=90.0)
+        truth = se3(rotation_z(0.4), [1.5, -0.7, 0.2])
+        return overlapping_views(
+            np.random.default_rng(3), xyz, rgb, truth, overlap=0.6
+        )
+
+    def _check(self, params):
+        va, vb = self._views()
+        ours = estimate_maps_transforms([va, vb], params, seed=0)
+        theirs = estimate_maps_transforms_np(
+            [va.to_arrays(), vb.to_arrays()], params, seed=0
+        )
+        assert np.asarray(ours[1]).any(), "TPU registration failed"
+        assert np.asarray(theirs[1]).any(), "oracle registration failed"
+        rot, trans = rel_pose_delta(ours, theirs)
+        assert rot < 1.5, f"pose rotation disagrees with oracle: {rot} deg"
+        assert trans < 0.15, f"pose translation disagrees: {trans} m"
+
+    @pytest.mark.parametrize("desc", ["PFHRGB", "SHOT", "SC3D"])
+    def test_matching_parity(self, desc):
+        self._check(
+            MergeParams.strict_parity(
+                keypoint_type="HARRIS",
+                keypoint_threshold=1.0,
+                descriptor_type=desc,
+                refine_transform=True,
+                max_iterations=80,
+                max_points=16384,
+                max_keypoints=256,
+                max_neighbors=48,
+                ransac_hypotheses=512,
+                neighbor_tile=512,
+            )
+        )
+
+    @pytest.mark.parametrize("desc", ["FPFH", "RSD"])
+    def test_sacia_parity(self, desc):
+        self._check(
+            MergeParams.strict_parity(
+                keypoint_type="HARRIS",
+                keypoint_threshold=1.0,
+                descriptor_type=desc,
+                estimation_method="SAC_IA",
+                refine_transform=True,
+                max_iterations=500,
+                sacia_hypotheses=4096,
+                max_points=16384,
+                max_keypoints=256,
+                max_neighbors=48,
+                neighbor_tile=512,
+            )
+        )
+
+
+@pytest.mark.slow
 class TestGoldenConfig1:
     def test_bench_scene_matches_frozen_oracle_poses(self):
         """Eval config #1 golden poses (scripts/run_oracle.py)."""
