@@ -305,7 +305,8 @@ def config4():
     ]
     params = MergeParams(
         keypoint_type="SIFT", keypoint_threshold=3.0,
-        descriptor_type="FPFH", refine_transform=False,
+        descriptor_type="FPFH", refine_transform=True,
+        max_iterations=30,
         max_points=8192, max_keypoints=384, max_neighbors=32,
         ransac_hypotheses=768, neighbor_tile=256,
     )
@@ -357,13 +358,24 @@ def config4():
                           confidence=float(confidences[k]))
         for k, (i, j) in enumerate(pairs)
     ]
+    from mapmerge_tpu.graph.pose_graph import refine_global_transforms
+
     transforms = compute_global_transforms(estimates, params.confidence_threshold)
-    # RANSAC-only per-hop accuracy (no ICP at this stage: the measured
-    # quantity is pair-stage scaling; refined accuracy is config2/3's job)
+    # all-edge pose-graph relaxation, same as the pipeline's default path
+    # (merging._solve_graph; VERDICT r2 item 3)
+    transforms = refine_global_transforms(
+        estimates, transforms, params.confidence_threshold
+    )
+    # full-pipeline per-hop accuracy (ICP refine on: RANSAC-only edges on
+    # these small views carry 3-8 deg per-hop error, which no graph solve
+    # can remove — measured r3, /tmp/c4_edges diagnostic)
     hop_errs = check_adjacent(
-        transforms, truths, rot_tol=10.0, trans_tol=0.7, min_ok=14
+        transforms, truths, rot_tol=5.0, trans_tol=0.5, min_ok=14
     )
     drift = end_to_end_drift(transforms, truths)
+    assert drift[0] < 5.0 and drift[1] < 0.25, (
+        f"drift gate (refined pose graph): {drift}"
+    )
     speedup = results[1] / results[8]
     emit(
         {
@@ -425,6 +437,8 @@ def config5():
     ordered = [transforms[f"robot_{i:02d}"] for i in range(50)]
     check_adjacent(ordered, truths, rot_tol=8.0, trans_tol=0.5, min_ok=38)
     drift = end_to_end_drift(ordered, truths)
+    # refined pose graph must hold end-to-end (VERDICT r2 item 3 gate)
+    assert drift[0] < 10.0 and drift[1] < 0.5, f"drift gate: {drift}"
     merged = node.get_merged_map()
     assert merged is not None and int(merged.count) > 1000
     emit(
@@ -440,6 +454,111 @@ def config5():
             "end_to_end_drift_deg_m": drift,
         }
     )
+
+
+def config5_big():
+    """THE north-star config (BASELINE.json): 50 x ~half-million-pt maps
+    streamed through the online node on ONE TPU chip, >= 10x the CPU
+    oracle at gated accuracy.
+
+    The node runs in incremental register-to-world mode
+    (pipeline/incremental.py): features are extracted once per map and new
+    maps localize against the world model — the TPU-native answer to the
+    reference's per-tick stateless O(N^2) re-estimation.
+
+    vs_baseline protocol (VERDICT r2 item 1 allows a documented
+    subset-scaled oracle): the scipy-cKDTree oracle (the faithful
+    reference-pipeline implementation, mapmerge_tpu/oracle.py) is MEASURED
+    in this same run on 2 of the 50 maps (features) and 1 pair
+    (matching + RANSAC + ICP + score), then scaled to ONE offline
+    all-pairs merge: 50 x t_features + C(50,2) x t_pair. That is the
+    CHEAPEST work a reference-style merge of these maps can do — the
+    reference node actually re-runs all of it on every estimation tick
+    (map_merge_node.cpp:141-142), so the reported ratio is a lower bound.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    from mapmerge_tpu.core.params import MergeParams
+    from mapmerge_tpu.runtime.node import MapMergeNode
+    from mapmerge_tpu.runtime.transport import InProcTransport
+
+    n_maps = 50
+    # ~500k RAW points per view (config2 protocol: raw size names the map)
+    views, truths = town_views(n_maps, view_resized_target=200_000, keep=0.8,
+                               seed=5)
+    raw_sizes = [len(v[0]) for v in views]
+    cap = 1 << int(np.ceil(np.log2(max(raw_sizes))))
+    params = MergeParams(
+        keypoint_type="SIFT", keypoint_threshold=3.0,
+        descriptor_type="FPFH", refine_transform=True, max_iterations=30,
+        max_points=cap, max_keypoints=384, max_neighbors=32,
+        ransac_hypotheses=768, neighbor_tile=1024,
+    )
+
+    # ---- oracle subset measurement (CPU, same fixture + params) ----
+    from mapmerge_tpu.oracle import (
+        estimate_transform_np,
+        extract_features_np,
+    )
+
+    t0 = time.perf_counter()
+    of_a = extract_features_np(views[0][0], views[0][1], params)
+    of_b = extract_features_np(views[1][0], views[1][1], params)
+    t_feat = (time.perf_counter() - t0) / 2.0
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(0)
+    estimate_transform_np(of_a, of_b, params, rng)
+    t_pair = time.perf_counter() - t0
+    oracle_wall = n_maps * t_feat + (n_maps * (n_maps - 1) // 2) * t_pair
+
+    # ---- the TPU stream ----
+    transport = InProcTransport()
+    node = MapMergeNode(
+        transport, params=params, seed=0, incremental=True, max_robots=64
+    )
+    t0 = time.perf_counter()
+    batch = 5
+    for start in range(0, n_maps, batch):
+        for i in range(start, start + batch):
+            transport.publish(f"robot_{i:02d}", views[i][0], views[i][1])
+        node.discovery()
+        node.transforms_estimation()
+    node.map_compositing()
+    wall = time.perf_counter() - t0
+
+    transforms = node.get_transforms()
+    ok = sum(1 for t in transforms.values() if t.any())
+    assert len(transforms) == n_maps, len(transforms)
+    assert ok >= 45, f"accuracy gate: only {ok}/{n_maps} maps registered"
+    ordered = [transforms[f"robot_{i:02d}"] for i in range(n_maps)]
+    check_adjacent(ordered, truths, rot_tol=5.0, trans_tol=0.5, min_ok=40)
+    drift = end_to_end_drift(ordered, truths)
+    assert drift[0] < 10.0 and drift[1] < 0.5, f"drift gate: {drift}"
+    merged = node.get_merged_map()
+    assert merged is not None and int(merged.count) > 10000
+    vs = oracle_wall / wall
+    emit(
+        {
+            "config": "config5_big_50map_500k",
+            "metric": "50-map ~500k-pt online stream, incremental "
+            "register-to-world on 1 TPU chip",
+            "raw_points_per_map": [min(raw_sizes), max(raw_sizes)],
+            "value": round(wall, 2),
+            "unit": "s",
+            "maps_registered": ok,
+            "maps_per_min": round(n_maps * 60.0 / wall, 2),
+            "end_to_end_drift_deg_m": drift,
+            "oracle_wall_est_s": round(oracle_wall, 1),
+            "oracle_protocol": (
+                f"measured on this run: features {t_feat:.1f}s/cloud x 50 "
+                f"+ pair {t_pair:.2f}s x 1225 (one offline all-pairs "
+                "merge; the reference node redoes this every tick)"
+            ),
+            "vs_baseline": round(vs, 2),
+        }
+    )
+    assert vs >= 10.0, f"north-star gate: vs_baseline {vs:.1f} < 10"
 
 
 if __name__ == "__main__":

@@ -177,6 +177,8 @@ def refine_global_transforms(
     huber_delta: float = 0.1,
     tol: float = 1e-10,
     reject_outliers: bool = True,
+    seed_gate_deg: float = 25.0,
+    seed_gate_m: float = 1.5,
 ) -> list[np.ndarray]:
     """Relax all confident pairwise edges from the MST seed.
 
@@ -208,6 +210,41 @@ def refine_global_transforms(
         and active[e.source_idx]
         and active[e.target_idx]
     ]
+
+    # seed-consistency gate: an edge that wildly disagrees with the MST
+    # seed is almost surely a wrong registration that cleared the
+    # confidence threshold (low-overlap pair), NOT a loop closure — a
+    # correct edge disagrees with the seed by at most the accumulated
+    # chain drift, which seed_gate_deg/_m comfortably cover. Without this,
+    # an outlier-heavy graph (e.g. all-pairs over a long strip of views,
+    # where most pairs barely overlap) drags the solve off the seed; the
+    # Huber kernel bounds each edge's pull but 100+ junk edges still win
+    # by mass.
+    def _seed_residual(e):
+        Gs = np.asarray(global_t[e.source_idx], np.float64)
+        Gt_ = np.asarray(global_t[e.target_idx], np.float64)
+        M = _inv44(Gt_) @ Gs
+        D = _inv44(np.asarray(e.transform, np.float64)) @ M
+        rot = np.degrees(
+            np.arccos(np.clip((np.trace(D[:3, :3]) - 1.0) * 0.5, -1.0, 1.0))
+        )
+        return rot, float(np.linalg.norm(D[:3, 3]))
+
+    gated = []
+    for e in edges:
+        rot, trans = _seed_residual(e)
+        if rot <= seed_gate_deg and trans <= seed_gate_m:
+            gated.append(e)
+    # keep every active node attached (MST edges always pass their own
+    # seed by construction — residual 0 — so connectivity is guaranteed,
+    # but guard anyway in case the caller seeded differently)
+    deg = np.zeros(n, int)
+    for e in gated:
+        deg[e.source_idx] += 1
+        deg[e.target_idx] += 1
+    if all(deg[i] > 0 for i in range(n) if active[i]):
+        edges = gated
+
     n_active = int(active.sum())
     if len(edges) <= n_active - 1:
         return global_t  # nothing beyond the tree itself to relax

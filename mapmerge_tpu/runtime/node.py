@@ -50,6 +50,8 @@ class MapMergeNode:
         mesh=None,
         pose_callback: Optional[Callable[[str, np.ndarray], None]] = None,
         seed: int = 0,
+        incremental: bool = False,
+        max_robots: int = 64,
     ):
         self.transport = transport
         self.params = params or MergeParams()
@@ -62,6 +64,14 @@ class MapMergeNode:
         self.mesh = mesh
         self.pose_callback = pose_callback
         self.seed = seed
+        #: incremental register-to-world mode (pipeline/incremental.py):
+        #: features cached per map version, new maps localized against the
+        #: world model instead of stateless O(N^2) re-estimation. Default
+        #: False = reference semantics (map_merge_node.cpp:141-142).
+        self.incremental = incremental
+        self._world = None
+        self._max_robots = max_robots
+        self._feat_cache: dict[str, tuple] = {}  # robot -> (stamp, features)
 
         self._lock = threading.Lock()
         self._robots: list[str] = []  # discovery order = node index order
@@ -121,8 +131,12 @@ class MapMergeNode:
         n = len(xyz)
         if n <= cap:
             return xyz, rgb, 0
+        # zlib.crc32, not hash(): str hashes are salted per process, which
+        # would make the subsample (and thus registration) run-dependent
+        import zlib
+
         rng = np.random.default_rng(
-            (hash((robot, self.seed)) & 0x7FFFFFFF) or 1
+            (zlib.crc32(f"{robot}/{self.seed}".encode()) & 0x7FFFFFFF) or 1
         )
         keep = rng.choice(n, size=cap, replace=False)
         keep.sort()
@@ -153,7 +167,140 @@ class MapMergeNode:
         names = sorted(merged)
         return names, [merged[r] for r in names]
 
+    def _transforms_estimation_incremental(self) -> None:
+        """Incremental register-to-world estimation tick
+        (pipeline/incremental.py): extract features only for new/updated
+        maps, localize them against the world model, keep everyone else's
+        pose. Not composed with multi-process meshes (the stateless path
+        is; incremental state is per-node)."""
+        from mapmerge_tpu.pipeline.incremental import WorldModel, features_for
+
+        import jax
+
+        if self._world is None:
+            self._world = WorldModel(self.params, max_maps=self._max_robots)
+        world = self._world
+
+        robots = self.get_robots()
+        cap = self.params.max_points
+        updated: list[str] = []
+        for robot in robots:
+            latest = self.transport.latest(robot)
+            if latest is None:
+                continue
+            stamp, xyz, rgb = latest
+            cached = self._feat_cache.get(robot)
+            if cached is not None and cached[0] == stamp:
+                continue
+            xyz, rgb, dropped = self._fit_to_capacity(xyz, rgb, cap, robot)
+            if dropped:
+                with self._lock:
+                    self._stats["subsampled_points"] += dropped
+            cloud = PointCloud.from_arrays(xyz, rgb, capacity=cap)
+            self._feat_cache[robot] = (stamp, features_for(cloud, self.params))
+            updated.append(robot)
+
+        tick = self._ticks["estimation"]
+        key = jax.random.key(self.seed)
+        # seed the world: first known map is the reference frame
+        # (identity), exactly like the single-cloud contract
+        def _n_desc(robot: str) -> int:
+            f = self._feat_cache[robot][1]
+            return int(
+                np.asarray(
+                    (f.descriptors.valid & f.keypoints.mask).sum()
+                )
+            )
+
+        seeded = None
+        if not world.entries:
+            # the seed anchors the world frame: pick the most featureful
+            # map (an unfeatured/garbage map as anchor strands everyone)
+            candidates = [r for r in robots if r in self._feat_cache]
+            if candidates:
+                robot = max(candidates, key=_n_desc)
+                world.add(
+                    robot, self._feat_cache[robot][1],
+                    np.eye(4, dtype=np.float32),
+                )
+                seeded = robot
+        # localize everything not yet registered, plus updated maps
+        pending = [
+            r for r in robots
+            if r in self._feat_cache
+            and r != seeded
+            and (r not in world or r in updated)
+        ]
+        # a map may register only after a same-tick earlier map joined the
+        # world (chains of views): retry until a round makes no progress
+        for n_retry in range(max(2, len(pending))):
+            still = []
+            for robot in pending:
+                feats = self._feat_cache[robot][1]
+                import zlib
+
+                k = jax.random.fold_in(
+                    key,
+                    zlib.crc32(f"{robot}/{tick}/{n_retry}".encode())
+                    & 0x7FFFFFFF,
+                )
+                res = world.localize(feats, k)
+                if res is None:
+                    still.append(robot)
+                    continue
+                pose, confidence, _partner = res
+                world.add(robot, feats, pose)
+            if not still or len(still) == len(pending):
+                break  # done, or no progress this round
+            pending = still
+
+        # a lone anchor that attracted nobody may itself be the problem
+        # (e.g. a degenerate map was the most featureful at seed time):
+        # while the world holds just one map, re-anchoring is free — no
+        # other pose depends on the frame yet
+        if (
+            len(world.entries) == 1
+            and still
+            and max(map(_n_desc, still)) > _n_desc(world.entries[0].name)
+        ):
+            from mapmerge_tpu.pipeline.incremental import WorldModel
+
+            self._world = world = WorldModel(
+                self.params, max_maps=self._max_robots
+            )
+            robot = max(still, key=_n_desc)
+            world.add(
+                robot, self._feat_cache[robot][1],
+                np.eye(4, dtype=np.float32),
+            )
+            import zlib
+
+            for other in [r for r in still if r != robot]:
+                k = jax.random.fold_in(
+                    key,
+                    zlib.crc32(f"{other}/{tick}/reseed".encode())
+                    & 0x7FFFFFFF,
+                )
+                res = world.localize(self._feat_cache[other][1], k)
+                if res is not None:
+                    world.add(other, self._feat_cache[other][1], res[0])
+
+        with self._lock:
+            self._transforms = {
+                r: (
+                    world.pose_of(r).copy()
+                    if r in world
+                    else np.zeros((4, 4), np.float32)
+                )
+                for r in robots
+            }
+            self._estimated_robots = list(robots)
+            self._ticks["estimation"] += 1
+        self._publish_poses()
+
     def transforms_estimation(self) -> None:
+        if self.incremental:
+            return self._transforms_estimation_incremental()
         robots = self.get_robots()
         kept, raw = self._snapshot_clouds(robots)
         # global exchange BEFORE the empty-guard: the collective must run
