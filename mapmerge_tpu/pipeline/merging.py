@@ -267,9 +267,36 @@ def _estimate_maps_transforms_sharded(
     n_dev = mesh.devices.size
     n_real = len(clouds)
     n_padded = pad_to_multiple(n_real, n_dev)
-    empty = PointCloud.from_arrays(np.zeros((0, 3), np.float32), capacity=1)
-    batch = stack_clouds(clouds + [empty] * (n_padded - n_real))
-    features = extract_features_sharded(batch, params, mesh)
+
+    from mapmerge_tpu.pipeline.features import (
+        STAGED_THRESHOLD,
+        extract_features_staged,
+    )
+
+    if max(c.capacity for c in clouds) >= STAGED_THRESHOLD:
+        # big-cloud staged features (VERDICT r2 weak 8): the fused
+        # per-device feature program at >= 2^19 capacity is exactly the
+        # measured-HBM-crash the single-chip path stages around
+        # (features.STAGED_THRESHOLD) — per-device sharding does not
+        # shrink it, so stage here too. Features come out replicated,
+        # which is what the pair stage consumes (its in_spec is P());
+        # the mesh speedup lives in the pair axis below.
+        from mapmerge_tpu.core.cloud import pad_cloud
+
+        cap = max(c.capacity for c in clouds)
+        feature_list = [
+            extract_features_staged(pad_cloud(c, cap), params)
+            for c in clouds
+        ]
+        features = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *feature_list
+        )
+    else:
+        empty = PointCloud.from_arrays(
+            np.zeros((0, 3), np.float32), capacity=1
+        )
+        batch = stack_clouds(clouds + [empty] * (n_padded - n_real))
+        features = extract_features_sharded(batch, params, mesh)
     _warn_dropped(features)
 
     kp_counts = _fetch(jnp.sum(features.keypoints.mask, axis=-1))
