@@ -550,9 +550,14 @@ def config5_big():
             "maps_per_min": round(n_maps * 60.0 / wall, 2),
             "end_to_end_drift_deg_m": drift,
             "oracle_wall_est_s": round(oracle_wall, 1),
+            # Unrounded components so oracle_wall_est_s is reproducible
+            # from this line alone (ADVICE r3): est = n*t_feat + C(n,2)*t_pair.
+            "oracle_t_feat_s": t_feat,
+            "oracle_t_pair_s": t_pair,
             "oracle_protocol": (
-                f"measured on this run: features {t_feat:.1f}s/cloud x 50 "
-                f"+ pair {t_pair:.2f}s x 1225 (one offline all-pairs "
+                f"measured on this run: features {t_feat:.4f}s/cloud x "
+                f"{n_maps} + pair {t_pair:.4f}s x "
+                f"{n_maps * (n_maps - 1) // 2} (one offline all-pairs "
                 "merge; the reference node redoes this every tick)"
             ),
             "vs_baseline": round(vs, 2),

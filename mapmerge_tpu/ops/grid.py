@@ -197,6 +197,7 @@ def grid_query(
     q_values=None,
     p_values=None,
     skip_empty: bool = True,
+    qg: CellGrid | None = None,
 ):
     """Bucket-grouped query processing.
 
@@ -221,13 +222,19 @@ def grid_query(
     layout then cost a branch instead of a full (B, Cq, 27C) pass. Exact:
     a skipped tile holds no queries, so it had nothing to scatter.
 
+    `qg`: optional PREBUILT query grid (same cell size/dims layout). When
+    the queries are the grid's own points under a different mask, callers
+    can derive it from `grid` by masking (masked_query_grid) instead of
+    paying a second 1M-point sort — measured ~0.3 s per build at 1M.
+
     Returns (outputs, q_overflow_count).
     """
-    qg = build_grid(q, q_mask, grid.cell_size, grid.dims, q_cap or grid.cap)
+    if qg is None:
+        qg = build_grid(q, q_mask, grid.cell_size, grid.dims, q_cap or grid.cap)
     h = grid.count.shape[0]
     nq = q.shape[0]
     c = grid.cap
-    cq = q_cap or grid.cap
+    cq = qg.cap
 
     def _pad_rows(v):
         return jnp.concatenate([v, jnp.zeros((1,) + v.shape[1:], v.dtype)])
@@ -286,7 +293,13 @@ def grid_query(
                 )
             )
         outs = tile_fn(q_block, cand_xyz, cand_ok, cand_idx, *extras)
-        slots = qg.cell_idx[bucket_tile].reshape(-1)  # (B*Cq,)
+        # occupancy-gated scatter: with a derived query grid
+        # (masked_query_grid) masked-out points still sit in their slots
+        # with real coordinates — route their outputs to the sacrificial
+        # row so they keep out_defaults, exactly like a built query grid
+        slots = jnp.where(
+            qg.cell_ok[bucket_tile], qg.cell_idx[bucket_tile], nq
+        ).reshape(-1)  # (B*Cq,)
         return jax.tree_util.tree_map(
             lambda acc, o: acc.at[slots].set(
                 o.reshape((-1,) + o.shape[2:]), mode="drop"
@@ -342,6 +355,26 @@ def grid_query(
     return outputs, qg.overflow
 
 
+def masked_query_grid(grid: CellGrid, q_mask: jax.Array, n: int) -> CellGrid:
+    """Derive the query grid for "the grid's own points, restricted to
+    q_mask" without a second sort: same slots, occupancy intersected with
+    the mask. Query overflow inherits the point grid's (a needed point
+    dropped at build time is exactly a dropped query)."""
+    mask_pad = jnp.concatenate([q_mask, jnp.zeros((1,), bool)])
+    cell_ok = grid.cell_ok & mask_pad[grid.cell_idx]
+    return CellGrid(
+        cell_xyz=grid.cell_xyz,
+        cell_idx=grid.cell_idx,
+        cell_ok=cell_ok,
+        count=jnp.sum(cell_ok, axis=1).astype(jnp.int32),
+        raw_max=grid.raw_max,
+        overflow=grid.overflow,
+        cell_size=grid.cell_size,
+        dims=grid.dims,
+        cap=grid.cap,
+    )
+
+
 def _d2(q_block: jax.Array, cand_xyz: jax.Array) -> jax.Array:
     """(B, Cq, 3) x (B, M, 3) -> (B, Cq, M) squared distances."""
     d = q_block[:, :, None, :] - cand_xyz[:, None, :, :]
@@ -377,6 +410,88 @@ def grid_radius_count(
     return counts, overflow
 
 
+#: query count at or below which grid_radius_neighbors uses the
+#: query-centric gather path instead of the bucket-centric cell sweep.
+#: The sweep's cost is O(H) scan steps + per-tile top-k regardless of how
+#: few queries exist — measured 1.48 s for 1024 keypoint queries against a
+#: 967k-pt cloud, vs ~0.1 s for the direct (Q, 27C) gather + top-k
+SMALL_Q_THRESHOLD = 4096
+
+
+def _radius_neighbors_smallq(
+    q: jax.Array,
+    grid: CellGrid,
+    n_p: int,
+    radius: float,
+    k: int,
+    exclude_self: bool,
+    chunk: int = 1024,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Query-centric variant for SMALL query sets (keypoint neighborhoods):
+    gather each query's 27 neighbor-cell blocks directly into a (Q, 27C)
+    candidate slab and top-k it — no cell sweep, no query-side bucketing
+    (hence no query overflow; every query is answered exactly)."""
+    r2 = jnp.float32(radius * radius)
+    c = grid.cap
+    nq = q.shape[0]
+
+    cells = jnp.floor(q * jnp.float32(1.0 / grid.cell_size)).astype(jnp.int32)
+    bucket = _bucket_of(cells, grid.dims)
+
+    def slab(args):
+        q_blk, b_blk = args  # (B, 3), (B,)
+        nbr = _neighbor_buckets(b_blk, grid.dims)  # (B, 27)
+        nbr = jnp.sort(nbr, axis=-1)
+        dup = jnp.concatenate(
+            [jnp.zeros((nbr.shape[0], 1), bool), nbr[:, 1:] == nbr[:, :-1]],
+            axis=-1,
+        )
+        cand_xyz = grid.cell_xyz[nbr].reshape(nbr.shape[0], 27 * c, 3)
+        cand_ok = (grid.cell_ok[nbr] & ~dup[..., None]).reshape(
+            nbr.shape[0], 27 * c
+        )
+        cand_idx = grid.cell_idx[nbr].reshape(nbr.shape[0], 27 * c)
+        d = q_blk[:, None, :] - cand_xyz
+        d2 = jnp.sum(d * d, axis=-1)
+        d2 = jnp.where(cand_ok, d2, BIG)
+        if exclude_self:
+            d2 = jnp.where(d2 <= 1e-12, BIG, d2)
+        # EXACT two-stage top-k (same argument as the sweep tile_fn below)
+        b = d2.shape[0]
+        k_cell = min(k, c)
+        d2_cells = d2.reshape(b, 27, c)
+        neg1, pos1 = jax.lax.top_k(-d2_cells, k_cell)
+        cell_base = jnp.arange(27, dtype=jnp.int32)[None, :, None] * c
+        pos1_flat = (pos1 + cell_base).reshape(b, 27 * k_cell)
+        d2_stage = (-neg1).reshape(b, 27 * k_cell)
+        k_eff = min(k, d2_stage.shape[-1])
+        neg2, pos2 = jax.lax.top_k(-d2_stage, k_eff)
+        d2k = -neg2
+        pos = jnp.take_along_axis(pos1_flat, pos2, axis=-1)
+        idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
+        valid = d2k <= r2
+        if k_eff < k:
+            pad = k - k_eff
+            idx = jnp.pad(idx, ((0, 0), (0, pad)))
+            d2k = jnp.pad(d2k, ((0, 0), (0, pad)), constant_values=BIG)
+            valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        return idx.astype(jnp.int32), d2k, valid
+
+    pad = (-nq) % chunk
+    if pad:
+        q_p = jnp.concatenate([q, jnp.full((pad, 3), FAR, q.dtype)])
+        b_p = jnp.concatenate([bucket, jnp.zeros((pad,), bucket.dtype)])
+    else:
+        q_p, b_p = q, bucket
+    idx, d2k, valid = jax.lax.map(
+        slab, (q_p.reshape(-1, chunk, 3), b_p.reshape(-1, chunk))
+    )
+    unflat = lambda a: a.reshape((-1,) + a.shape[2:])[:nq]
+    idx, d2k, valid = unflat(idx), unflat(d2k), unflat(valid)
+    idx = jnp.where(idx >= n_p, 0, idx)
+    return idx, d2k, valid
+
+
 def grid_radius_neighbors(
     q: jax.Array,
     p: jax.Array,
@@ -392,9 +507,17 @@ def grid_radius_neighbors(
     radius, nearest first, indices in ORIGINAL point order.
 
     Returns (idx, d2, valid, overflow) — `overflow` counts queries dropped
-    by the query-side bucket cap (their rows come back all-invalid)."""
+    by the query-side bucket cap (their rows come back all-invalid).
+    Small query sets dispatch to the query-centric gather path (exact, no
+    query-side cap — overflow is structurally 0 there)."""
     grid = build_grid(p, p_mask, radius, dims, scan_cap)
     r2 = jnp.float32(radius * radius)
+
+    if q.shape[0] <= SMALL_Q_THRESHOLD:
+        idx, d2k, valid = _radius_neighbors_smallq(
+            q, grid, p.shape[0], radius, k, exclude_self
+        )
+        return idx, d2k, valid, jnp.zeros((), jnp.int32)
 
     def tile_fn(q_block, cand_xyz, cand_ok, cand_idx):
         d2 = _d2(q_block, cand_xyz)  # (B, Cq, M)
@@ -494,6 +617,75 @@ def grid_nn_query(
     return idx, best, overflow
 
 
+def _radius_reduce_smallq(
+    q: jax.Array,
+    grid: CellGrid,
+    radius: float,
+    values: jax.Array,
+    reduce: str,
+    chunk: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Query-centric radius_reduce for SMALL query sets (e.g. the Harris
+    corner-refinement solves over <=max_keypoints points): gather each
+    query's 27 neighbor-cell blocks directly instead of sweeping every
+    cell of the grid — the sweep costs O(H) regardless of query count."""
+    r2 = jnp.float32(radius * radius)
+    c = grid.cap
+    nq = q.shape[0]
+    v_dim = values.shape[-1]
+    # values in cell layout once (the sweep path's p_values channel)
+    v_pad = jnp.concatenate(
+        [values, jnp.zeros((1, v_dim), values.dtype)]
+    )
+    v_cells = v_pad[grid.cell_idx]  # (H, C, V)
+
+    cells = jnp.floor(q * jnp.float32(1.0 / grid.cell_size)).astype(jnp.int32)
+    bucket = _bucket_of(cells, grid.dims)
+
+    def slab(args):
+        q_blk, b_blk = args  # (B, 3), (B,)
+        nbr = _neighbor_buckets(b_blk, grid.dims)  # (B, 27)
+        nbr = jnp.sort(nbr, axis=-1)
+        dup = jnp.concatenate(
+            [jnp.zeros((nbr.shape[0], 1), bool), nbr[:, 1:] == nbr[:, :-1]],
+            axis=-1,
+        )
+        cand_xyz = grid.cell_xyz[nbr].reshape(nbr.shape[0], 27 * c, 3)
+        cand_ok = (grid.cell_ok[nbr] & ~dup[..., None]).reshape(
+            nbr.shape[0], 27 * c
+        )
+        v = v_cells[nbr].reshape(nbr.shape[0], 27 * c, v_dim)
+        d = q_blk[:, None, :] - cand_xyz
+        d2 = jnp.sum(d * d, axis=-1)
+        within = cand_ok & (d2 <= r2)
+        count = jnp.sum(within, axis=-1).astype(jnp.int32)
+        if reduce == "sum":
+            out = jnp.einsum(
+                "bm,bmv->bv", within.astype(jnp.float32), v,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        elif reduce == "max":
+            out = jnp.max(
+                jnp.where(within[..., None], v, -BIG), axis=1
+            )
+        else:
+            raise ValueError(f"unknown reduce: {reduce}")
+        return count, out
+
+    pad = (-nq) % chunk
+    if pad:
+        q_p = jnp.concatenate([q, jnp.full((pad, 3), FAR, q.dtype)])
+        b_p = jnp.concatenate([bucket, jnp.zeros((pad,), bucket.dtype)])
+    else:
+        q_p, b_p = q, bucket
+    count, out = jax.lax.map(
+        slab, (q_p.reshape(-1, chunk, 3), b_p.reshape(-1, chunk))
+    )
+    count = count.reshape(-1)[:nq]
+    out = out.reshape(-1, v_dim)[:nq]
+    return count, out
+
+
 def grid_radius_reduce(
     q: jax.Array,
     p: jax.Array,
@@ -506,10 +698,17 @@ def grid_radius_reduce(
     dims: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Grid twin of neighbors.radius_reduce:
-    (count, sum|max of values, query-overflow count)."""
+    (count, sum|max of values, query-overflow count).
+
+    Small query sets dispatch to the query-centric gather path (exact, no
+    query-side bucket cap — overflow is structurally 0 there)."""
     grid = build_grid(p, p_mask, radius, dims, scan_cap)
     r2 = jnp.float32(radius * radius)
     v_dim = values.shape[-1]
+
+    if q.shape[0] <= SMALL_Q_THRESHOLD:
+        count, out = _radius_reduce_smallq(q, grid, radius, values, reduce)
+        return count, out, jnp.zeros((), jnp.int32)
 
     def tile_fn(q_block, cand_xyz, cand_ok, cand_idx, v):
         # v (B, M, V) arrives via the p_values channel: block gathers from

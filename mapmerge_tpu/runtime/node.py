@@ -36,6 +36,7 @@ from mapmerge_tpu.core.cloud import PointCloud
 from mapmerge_tpu.core.params import MergeParams
 from mapmerge_tpu.pipeline.merging import compose_maps, estimate_maps_transforms
 from mapmerge_tpu.runtime.transport import Transport
+from mapmerge_tpu.utils.metrics import MetricsRegistry, maybe_sink
 
 
 class MapMergeNode:
@@ -52,6 +53,7 @@ class MapMergeNode:
         seed: int = 0,
         incremental: bool = False,
         max_robots: int = 64,
+        metrics_log: Optional[str] = None,
     ):
         self.transport = transport
         self.params = params or MergeParams()
@@ -83,6 +85,13 @@ class MapMergeNode:
         self._threads: list[threading.Thread] = []
         self._ticks = {"compositing": 0, "discovery": 0, "estimation": 0}
         self._stats = {"subsampled_points": 0}
+        #: structured per-stage metrics (utils/metrics.py) — the
+        #: observability layer the reference lacks (SURVEY.md §5: its only
+        #: quantitative signal is transformScore + ROS_DEBUG logs). Every
+        #: job tick records its wall-clock; estimation ticks additionally
+        #: log one structured record to `metrics_log` (JSONL) when set.
+        self.metrics = MetricsRegistry()
+        self._metrics_sink = maybe_sink(metrics_log)
 
     # ---- public thread-safe accessors (map_merge_node.h:84-120) ----
     def get_robots(self) -> list[str]:
@@ -97,14 +106,22 @@ class MapMergeNode:
         with self._lock:
             return self._merged  # latched (map_merge_node.cpp:28-29)
 
+    def get_metrics(self) -> dict:
+        """Structured metrics snapshot: counters, gauges, and per-job
+        timing summaries (utils/metrics.py)."""
+        return self.metrics.snapshot()
+
     # ---- periodic jobs ----
     def discovery(self) -> None:
-        found = self.transport.discover()
-        with self._lock:
-            for robot in found:
-                if robot not in self._robots:
-                    self._robots.append(robot)
-            self._ticks["discovery"] += 1
+        with self.metrics.time_stage("discovery"):
+            found = self.transport.discover()
+            with self._lock:
+                for robot in found:
+                    if robot not in self._robots:
+                        self._robots.append(robot)
+                        self.metrics.inc("robots_discovered")
+                self._ticks["discovery"] += 1
+                self.metrics.set_gauge("robots_known", len(self._robots))
 
     def _snapshot_clouds(self, robots: list[str]):
         """Latest map per robot (two-level locking analog,
@@ -299,8 +316,42 @@ class MapMergeNode:
         self._publish_poses()
 
     def transforms_estimation(self) -> None:
-        if self.incremental:
-            return self._transforms_estimation_incremental()
+        """One estimation tick, instrumented: wall-clock, map counts, and
+        registration outcomes land in `self.metrics` (and the JSONL sink
+        when configured)."""
+        t0 = time.perf_counter()
+        with self.metrics.time_stage("estimation"):
+            if self.incremental:
+                self._transforms_estimation_incremental()
+            else:
+                self._transforms_estimation_stateless()
+        wall = time.perf_counter() - t0
+        with self._lock:
+            transforms = dict(self._transforms)
+            tick = self._ticks["estimation"]
+            subsampled = self._stats["subsampled_points"]
+        registered = sum(1 for t in transforms.values() if t.any())
+        failed = len(transforms) - registered
+        self.metrics.set_gauge("maps_registered", registered)
+        self.metrics.set_gauge("maps_failed", failed)
+        if self._metrics_sink is not None:
+            self._metrics_sink.write(
+                {
+                    "ts": time.time(),
+                    "job": "estimation",
+                    "tick": tick,
+                    "wall_s": round(wall, 4),
+                    "mode": "incremental" if self.incremental else "stateless",
+                    "maps_in": len(transforms),
+                    "maps_registered": registered,
+                    "maps_failed": failed,
+                    "subsampled_points": subsampled,
+                }
+            )
+
+    def _transforms_estimation_stateless(self) -> None:
+        """Stateless full re-estimation (reference semantics,
+        map_merge_node.cpp:141-142)."""
         robots = self.get_robots()
         kept, raw = self._snapshot_clouds(robots)
         # global exchange BEFORE the empty-guard: the collective must run
@@ -341,6 +392,13 @@ class MapMergeNode:
         self._publish_poses()
 
     def map_compositing(self) -> None:
+        with self.metrics.time_stage("compositing"):
+            self._map_compositing_impl()
+        merged = self.get_merged_map()
+        if merged is not None:
+            self.metrics.set_gauge("merged_points", int(merged.count))
+
+    def _map_compositing_impl(self) -> None:
         with self._lock:
             est_robots = list(self._estimated_robots)
             transforms = {r: self._transforms.get(r) for r in est_robots}
