@@ -317,8 +317,10 @@ def config4():
     empty = PointCloud.from_arrays(np.zeros((0, 3), np.float32),
                                    capacity=raw_cap)
     batch = stack_clouds(clouds + [empty] * (n_padded - n_maps))
+    print("[config4] compiling+running feature stage (8-dev)...", flush=True)
     features = extract_features_sharded(batch, params, mesh8)
     device_sync(features)
+    print("[config4] features done", flush=True)
 
     pairs = [(i, j) for i in range(n_maps - 1) for j in range(i + 1, n_maps)]
     src_idx, tgt_idx, n_pairs = pad_pairs(pairs, 8)
@@ -338,10 +340,12 @@ def config4():
             )
         else:
             features_n = features
+        print(f"[config4] compiling pair stage ({n_dev}-dev)...", flush=True)
         est = estimate_pairs_sharded(
             features_n, src_idx, tgt_idx, params, keys, mesh
         )  # compile + warm
         device_sync(est.transform)
+        print(f"[config4] pair stage warm ({n_dev}-dev)", flush=True)
         t0 = time.perf_counter()
         est = estimate_pairs_sharded(
             features_n, src_idx, tgt_idx, params, keys, mesh

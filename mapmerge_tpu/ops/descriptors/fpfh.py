@@ -39,11 +39,7 @@ import jax.numpy as jnp
 
 from mapmerge_tpu.core.cloud import PointCloud
 from mapmerge_tpu.ops.descriptors.base import Descriptors
-from mapmerge_tpu.ops.descriptors.darboux import (
-    bin_index,
-    one_hot_histogram,
-    pair_features,
-)
+from mapmerge_tpu.ops.descriptors.darboux import bin_index, pair_features
 from mapmerge_tpu.ops.keypoints.harris import Keypoints
 from mapmerge_tpu.ops.neighbors import _resolve_engine, radius_neighbors
 from mapmerge_tpu.ops.normals import SurfaceNormals
@@ -65,21 +61,27 @@ def _spfh_dense(
 ) -> tuple[jax.Array, jax.Array]:
     """SPFH (Q, 33) at the given oriented query points + validity (Q,).
 
-    Dense-engine path: capped nearest-first neighbor gather, then one-hot
-    histograms in slabs under lax.map (the one-hot intermediates are
-    (slab, M, 11) — unchunked at large Q they are GBs of HBM)."""
-    p_ok = cloud.mask & normals.valid
-    idx, d2, nmask, _ = radius_neighbors(
-        q_xyz, cloud.xyz, radius, max_neighbors,
-        p_mask=p_ok, tile=tile, engine="dense", scan_cap=scan_cap,
-    )
-    # the query is drawn from the cloud: exclude its own zero-distance hit
-    # (PCL SPFH pairs each point with its neighbors, not itself)
-    nmask = nmask & (d2 > 1e-12)
+    Dense-engine path: a masked ALL-in-radius sweep against the full cloud
+    — every valid point within `radius` contributes to the histogram,
+    exactly PCL's SPFH (no neighbor cap), and the same semantics as the
+    grid-engine sweep. This replaced a top-k neighbor-list formulation
+    (capped nearest-48 gather + one-hot histograms): the k-selection over
+    (Q, P) distance slabs dominated the stage, while the pure masked
+    reduction sweep is bandwidth/VPU work the chip does well. On TPU the
+    sweep runs through the fused Pallas kernel (pallas/spfh.py);
+    `max_neighbors` is unused here (kept for signature parity — it still
+    caps the keypoint-neighborhood gather in compute_fpfh).
+    """
+    from mapmerge_tpu.ops.neighbors import _use_pallas
 
+    p_ok = cloud.mask & normals.valid
+    r2 = jnp.float32(radius * radius)
     q = q_xyz.shape[0]
-    chunk = min(q, 32768)
-    pad = (-q) % chunk
+    # slab rows per step: bounds the (Cq, chunk) pair planes in flight
+    # (the Pallas kernel holds ~15 such planes in VMEM — Cq = 128 keeps
+    # them at 256 KB each; 1024 measured a VMEM stack OOM)
+    cq = min(q, 128)
+    pad = (-q) % cq
 
     def pad0(a):
         return (
@@ -88,31 +90,47 @@ def _spfh_dense(
             else a
         )
 
-    xyz_s = pad0(q_xyz).reshape(-1, chunk, 3)
-    nrm_s = pad0(q_nrm).reshape(-1, chunk, 3)
-    ok_s = pad0(q_ok).reshape(-1, chunk)
-    idx_s = pad0(idx).reshape(-1, chunk, idx.shape[-1])
-    nmask_s = pad0(nmask).reshape(-1, chunk, nmask.shape[-1])
+    xyz_s = pad0(q_xyz).reshape(-1, cq, 3)
+    nrm_s = pad0(q_nrm).reshape(-1, cq, 3)
 
-    def slab(args):
-        sxyz, snrm, sok, sidx, snmask = args
-        nbr_xyz = cloud.xyz[sidx]  # (chunk, M, 3)
-        nbr_nrm = normals.normals[sidx]
-        theta, alpha, phi, _, pair_ok = pair_features(
-            sxyz[:, None, :], snrm[:, None, :], nbr_xyz, nbr_nrm
-        )
-        w = (snmask & pair_ok & sok[:, None]).astype(jnp.float32)
-        h_theta = one_hot_histogram(bin_index(theta, -_PI, _PI, _BINS), w, _BINS)
-        h_alpha = one_hot_histogram(bin_index(alpha, -1.0, 1.0, _BINS), w, _BINS)
-        h_phi = one_hot_histogram(bin_index(phi, -1.0, 1.0, _BINS), w, _BINS)
-        total = jnp.sum(w, axis=-1, keepdims=True)
-        scale = jnp.where(total > 0, 100.0 / jnp.maximum(total, 1.0), 0.0)
-        spfh = jnp.concatenate([h_theta, h_alpha, h_phi], axis=-1) * scale
-        return spfh, total[:, 0]
+    if _use_pallas():
+        from mapmerge_tpu.pallas.spfh import spfh_tile_pallas
 
-    spfh, total = jax.lax.map(slab, (xyz_s, nrm_s, ok_s, idx_s, nmask_s))
+        # shared-candidate mode: leading dim 1 — every query slab sweeps
+        # the same cloud (spfh_tile_pallas docstring)
+        spfh, total = spfh_tile_pallas(
+            xyz_s, nrm_s, cloud.xyz[None], normals.normals[None],
+            p_ok[None], r2=float(radius) * float(radius),
+        )  # (b, cq, 33), (b, cq)
+    else:
+
+        def slab(args):
+            sxyz, snrm = args
+            theta, alpha, phi, dist, pair_ok = pair_features(
+                sxyz[:, None, :], snrm[:, None, :],
+                cloud.xyz[None, :, :], normals.normals[None, :, :],
+            )  # (cq, P)
+            d2 = dist * dist
+            w = (p_ok[None, :] & pair_ok & (d2 <= r2)).astype(jnp.float32)
+            t_i = bin_index(theta, -_PI, _PI, _BINS)
+            a_i = bin_index(alpha, -1.0, 1.0, _BINS)
+            p_i = bin_index(phi, -1.0, 1.0, _BINS)
+            cols = [
+                jnp.sum(w * (src == b_), axis=-1)
+                for src in (t_i, a_i, p_i)
+                for b_ in range(_BINS)
+            ]
+            hist = jnp.stack(cols, axis=-1)  # (cq, 33)
+            total = jnp.sum(w, axis=-1)
+            scale = jnp.where(total > 0, 100.0 / jnp.maximum(total, 1.0), 0.0)
+            return hist * scale[..., None], total
+
+        spfh, total = jax.lax.map(slab, (xyz_s, nrm_s))
+
     spfh = spfh.reshape(-1, 3 * _BINS)[:q]
     total = total.reshape(-1)[:q]
+    # q_ok gates validity only (masked-out queries are swept — their FAR
+    # coordinates make every pair fail the radius test, so total = 0)
     return spfh, q_ok & (total > 0)
 
 

@@ -178,13 +178,31 @@ def radius_neighbors(
     r2 = jnp.float32(radius * radius)
     k_eff = min(k, p.shape[0])
 
+    # NOTE (r4 negative result, docs/PROFILE_r4.md): a fused Pallas
+    # running-top-k kernel (k-pass min-extraction in VMEM) measured SLOWER
+    # than lax.top_k here (287 vs 252 ms for the 26-NN at 32k x 32k) —
+    # each extraction pass is a full-width lane reduction, so k passes
+    # cost ~k*log(width) ops per candidate. top_k / approx_max_k are
+    # within noise of each other and near the practical VPU floor.
+
     def tile_fn(q_slab):
         d2 = sq_dists(q_slab, pc)
         if p_mask is not None:
             d2 = jnp.where(p_mask[None, :], d2, BIG)
         if exclude_self:
             d2 = jnp.where(d2 <= 1e-12, BIG, d2)
-        neg, idx = jax.lax.top_k(-d2, k_eff)
+        if _use_approx_topk():
+            # TPU PartialReduce k-selection (lax.approx_max_k): the
+            # hardware top-k. recall_target=1.0 keeps it EXACT — XLA still
+            # lowers it ~2x faster than lax.top_k's full sort at these
+            # widths. Results come back score-sorted, nearest first, same
+            # as top_k.
+            neg, idx = jax.lax.approx_max_k(
+                -d2, k_eff, recall_target=1.0,
+                reduction_input_size_override=-1,
+            )
+        else:
+            neg, idx = jax.lax.top_k(-d2, k_eff)
         d2k = -neg
         valid = d2k <= r2
         return idx.astype(jnp.int32), d2k, valid
@@ -196,6 +214,25 @@ def radius_neighbors(
         d2k = jnp.pad(d2k, ((0, 0), (0, pad)), constant_values=BIG)
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
     return idx, d2k, valid, jnp.zeros((), jnp.int32)
+
+
+def _use_approx_topk() -> bool:
+    """TPU-only k-selection via lax.approx_max_k (PartialReduce) at
+    recall_target=1.0 — exact contents, hardware-lowered. Tie ORDER among
+    equal distances may differ from lax.top_k, so the CPU/test path keeps
+    top_k (the grid-engine exact-match tests pin against it). Env
+    MAPMERGE_APPROX_TOPK=0|1 forces either way."""
+    import os
+
+    env = os.environ.get("MAPMERGE_APPROX_TOPK", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _use_pallas() -> bool:

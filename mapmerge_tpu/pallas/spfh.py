@@ -182,6 +182,11 @@ def spfh_tile_pallas(
     kernel through the Pallas interpreter (CPU testing).
     """
     b, cq, _ = q_xyz.shape
+    #: shared-candidate mode: cand arrays with leading dim 1 serve every
+    #: query slab (the dense all-in-radius sweep — one cloud, many query
+    #: slabs); the candidate index map then ignores the slab index instead
+    #: of requiring a b-times-replicated candidate array in HBM
+    shared = cand_xyz.shape[0] == 1 and b > 1
     f32 = jnp.float32
     # component-packed operands (see module docstring)
     qpack = jnp.concatenate(
@@ -192,15 +197,16 @@ def spfh_tile_pallas(
         ],
         axis=1,
     )  # (B, 8, Cq)
+    bc = cand_xyz.shape[0]
     cpack = jnp.concatenate(
         [
-            jnp.swapaxes(cand_xyz.astype(f32), 1, 2),  # (B, 3, M)
+            jnp.swapaxes(cand_xyz.astype(f32), 1, 2),  # (Bc, 3, M)
             jnp.swapaxes(cand_nrm.astype(f32), 1, 2),
             cand_ok.astype(f32)[:, None, :],
-            jnp.zeros((b, 1, cand_ok.shape[-1]), f32),
+            jnp.zeros((bc, 1, cand_ok.shape[-1]), f32),
         ],
         axis=1,
-    )  # (B, 8, M)
+    )  # (Bc, 8, M)
     cpack = _pad_lanes(cpack, chunk, 0.0)  # padded slots carry okf = 0
     m = cpack.shape[-1]
     n_chunks = m // chunk
@@ -214,7 +220,9 @@ def spfh_tile_pallas(
                 (1, 8, cq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 8, chunk), lambda i, j: (i, 0, j),
+                (1, 8, chunk),
+                (lambda i, j: (0, 0, j)) if shared
+                else (lambda i, j: (i, 0, j)),
                 memory_space=pltpu.VMEM,
             ),
         ],

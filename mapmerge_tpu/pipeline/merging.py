@@ -83,6 +83,55 @@ def estimate_pairs_batch(
     return jax.lax.map(one, (src_idx, tgt_idx, keys))
 
 
+@partial(jax.jit, static_argnames=("params", "n"))
+def _merge_all_pairs_fused(batch: PointCloud, params: MergeParams, n: int,
+                           seed: jax.Array):
+    """ONE program: features for all `n` clouds + registration of all
+    C(n,2) pairs + every small output packed into a single f32 vector.
+
+    Rationale: on the TPU relay each host<->device round trip costs
+    ~90-130 ms; the unfused path pays one dispatch + one fetch per stage
+    (features, keypoint counts, pairs, transforms, overflow warnings) —
+    ~400-500 ms of pure latency per merge call at the 50k-pt eval config.
+    Fusing the whole small-config merge means one dispatch and one fetch.
+
+    Pairs are registered UNCONDITIONALLY (the reference skips pairs whose
+    keypoint sets are empty, map_merging.cpp:246-254); the caller drops
+    those estimates after the fetch using the packed keypoint counts, so
+    reference semantics are preserved exactly — an empty-keypoint pair
+    costs only wasted compute, and only when such a cloud exists.
+    """
+    features = jax.lax.map(lambda c: extract_features(c, params), batch)
+    pairs = [(i, j) for i in range(n - 1) for j in range(i + 1, n)]
+    src_idx = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    tgt_idx = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        jax.random.key(seed), jnp.arange(len(pairs))
+    )
+
+    def one(args):
+        si, ti, key = args
+        return estimate_transform(
+            _gather_pair(features, si), _gather_pair(features, ti), params,
+            key,
+        )
+
+    est = jax.lax.map(one, (src_idx, tgt_idx, keys))
+    kp_counts = jnp.sum(features.keypoints.mask, axis=-1)
+    p = len(pairs)
+    packed = jnp.concatenate(
+        [
+            est.transform.reshape(p, 16).reshape(-1),
+            est.confidence.astype(jnp.float32),
+            est.scan_overflow.astype(jnp.float32),
+            kp_counts.astype(jnp.float32),
+            features.dropped_points.astype(jnp.float32),
+            features.scan_overflow.astype(jnp.float32),
+        ]
+    )
+    return packed
+
+
 def _fetch(x) -> np.ndarray:
     """Device array -> host numpy, multi-process safe.
 
@@ -118,6 +167,44 @@ def _warn_dropped(features: CloudFeatures) -> None:
             "grid neighbor engine: fullest hash bucket exceeds "
             f"grid_scan_cap by {int(overflow.max())} points — neighbor "
             "queries may be truncated; raise MergeParams.grid_scan_cap",
+            stacklevel=3,
+        )
+
+
+def _warn_dropped_np(dropped: np.ndarray, scan_overflow: np.ndarray) -> None:
+    """_warn_dropped over already-fetched numpy counters (fused path)."""
+    import warnings
+
+    if dropped.sum() > 0:
+        per_cloud = ", ".join(
+            f"cloud {i}: {int(d)}" for i, d in enumerate(dropped) if d > 0
+        )
+        warnings.warn(
+            "voxel grid overflowed max_points and dropped valid points "
+            f"({per_cloud}); raise MergeParams.max_points or coarsen "
+            "resolution to keep all geometry",
+            stacklevel=3,
+        )
+    if scan_overflow.max(initial=0) > 0:
+        warnings.warn(
+            "grid neighbor engine: fullest hash bucket exceeds "
+            f"grid_scan_cap by {int(scan_overflow.max())} points — neighbor "
+            "queries may be truncated; raise MergeParams.grid_scan_cap",
+            stacklevel=3,
+        )
+
+
+def _warn_pair_overflow_np(overflow: np.ndarray) -> None:
+    """_warn_pair_overflow over an already-fetched numpy counter."""
+    import warnings
+
+    if overflow.max(initial=0) > 0:
+        warnings.warn(
+            "grid neighbor engine: up to "
+            f"{int(overflow.max())} source query points per pair overflowed "
+            "the target grid's query-side bucket cap during ICP/scoring — "
+            "correspondences were dropped; raise MergeParams.grid_scan_cap "
+            "or coarsen resolution",
             stacklevel=3,
         )
 
@@ -188,14 +275,52 @@ def estimate_maps_transforms(
         features = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *feature_list
         )
+    elif jax.process_count() == 1:
+        # small-cloud single-process fast path: the whole merge is one
+        # program and ONE packed fetch (_merge_all_pairs_fused docstring —
+        # per-round-trip relay latency dominates at the 50k-pt config)
+        n = len(clouds)
+        batch = stack_clouds(clouds)
+        packed = np.asarray(
+            _merge_all_pairs_fused(batch, params, n, jnp.uint32(seed))
+        )
+        all_pairs = [
+            (i, j) for i in range(n - 1) for j in range(i + 1, n)
+        ]
+        p = len(all_pairs)
+        transforms = packed[: p * 16].reshape(p, 4, 4)
+        confidences = packed[p * 16 : p * 17]
+        pair_overflow = packed[p * 17 : p * 18]
+        kp_counts = packed[p * 18 : p * 18 + n]
+        dropped = packed[p * 18 + n : p * 18 + 2 * n]
+        feat_overflow = packed[p * 18 + 2 * n :]
+        _warn_dropped_np(dropped, feat_overflow)
+        _warn_pair_overflow_np(pair_overflow)
+        estimates = [
+            TransformEstimate(
+                source_idx=i,
+                target_idx=j,
+                transform=transforms[k],
+                confidence=float(confidences[k]),
+            )
+            for k, (i, j) in enumerate(all_pairs)
+            # reference pair generation: both keypoint sets non-empty
+            # (map_merging.cpp:246-254)
+            if kp_counts[i] > 0 and kp_counts[j] > 0
+        ]
+        if not estimates:
+            return []
+        return _solve_graph(estimates, params)
     else:
+        # multi-process small path (no mesh): keep the separate-stage
+        # programs — arrays may span processes, fetched via _fetch
         batch = stack_clouds(clouds)
         features = extract_features_batch(batch, params)
     _warn_dropped(features)
 
     # pair generation: i < j with both keypoint sets non-empty
     # (map_merging.cpp:246-254); one D2H of the keypoint counts
-    kp_counts = np.asarray(jnp.sum(features.keypoints.mask, axis=-1))
+    kp_counts = _fetch(jnp.sum(features.keypoints.mask, axis=-1))
     pairs = [
         (i, j)
         for i in range(len(clouds) - 1)

@@ -89,3 +89,89 @@ class TestPallasNN:
             jnp.asarray(q), jnp.asarray(p), jnp.asarray(mask), interpret=True
         )
         assert np.all(np.asarray(d2) >= 1e11)  # everything at the penalty
+
+
+class TestPallasSPFH:
+    """Grid-SPFH sweep kernel (pallas/spfh.py) vs the XLA tile_fn math."""
+
+    def _xla_tile(self, q_xyz, q_nrm, cand_xyz, cand_nrm, cand_ok, r2):
+        from mapmerge_tpu.ops.descriptors.darboux import (
+            bin_index,
+            pair_features,
+        )
+
+        theta, alpha, phi, dist, pair_ok = pair_features(
+            q_xyz[:, :, None, :], q_nrm[:, :, None, :],
+            cand_xyz[:, None, :, :], cand_nrm[:, None, :, :],
+        )
+        d2 = dist * dist
+        w = (cand_ok[:, None, :] & pair_ok & (d2 <= r2)).astype(jnp.float32)
+        pi = float(np.pi)
+        t_i = bin_index(theta, -pi, pi, 11)
+        a_i = bin_index(alpha, -1.0, 1.0, 11)
+        p_i = bin_index(phi, -1.0, 1.0, 11)
+        cols = [
+            jnp.sum(w * (src == b), axis=-1)
+            for src in (t_i, a_i, p_i)
+            for b in range(11)
+        ]
+        hist = jnp.stack(cols, axis=-1)
+        total = jnp.sum(w, axis=-1)
+        scale = jnp.where(total > 0, 100.0 / jnp.maximum(total, 1.0), 0.0)
+        return hist * scale[..., None], total
+
+    def test_parity_vs_xla(self, rng):
+        from mapmerge_tpu.pallas.spfh import spfh_tile_pallas
+
+        B, Cq, M = 2, 16, 160
+        r = 0.8
+        q_xyz = rng.uniform(-1, 1, (B, Cq, 3)).astype(np.float32)
+        q_nrm = rng.normal(size=(B, Cq, 3)).astype(np.float32)
+        q_nrm /= np.linalg.norm(q_nrm, axis=-1, keepdims=True)
+        cand_xyz = rng.uniform(-1, 1, (B, M, 3)).astype(np.float32)
+        # identical coordinates exercise the zero-distance self-hit
+        # exclusion (PCL pairs a point with its neighbors, not itself)
+        cand_xyz[:, :Cq] = q_xyz
+        cand_nrm = rng.normal(size=(B, M, 3)).astype(np.float32)
+        cand_nrm /= np.linalg.norm(cand_nrm, axis=-1, keepdims=True)
+        cand_ok = rng.uniform(size=(B, M)) > 0.2
+
+        ref_h, ref_t = self._xla_tile(
+            jnp.asarray(q_xyz), jnp.asarray(q_nrm), jnp.asarray(cand_xyz),
+            jnp.asarray(cand_nrm), jnp.asarray(cand_ok), r * r,
+        )
+        got_h, got_t = spfh_tile_pallas(
+            jnp.asarray(q_xyz), jnp.asarray(q_nrm), jnp.asarray(cand_xyz),
+            jnp.asarray(cand_nrm), jnp.asarray(cand_ok),
+            r2=r * r, chunk=128, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t))
+        # identical bin membership incl. the sector-test theta binning
+        np.testing.assert_allclose(
+            np.asarray(got_h), np.asarray(ref_h), atol=2e-3
+        )
+
+    def test_chunk_padding_invariance(self, rng):
+        from mapmerge_tpu.pallas.spfh import spfh_tile_pallas
+
+        B, Cq, M = 1, 8, 100  # M not a chunk multiple -> lane padding
+        q_xyz = rng.uniform(-1, 1, (B, Cq, 3)).astype(np.float32)
+        q_nrm = np.tile(
+            np.asarray([0.0, 0.0, 1.0], np.float32), (B, Cq, 1)
+        )
+        cand_xyz = rng.uniform(-1, 1, (B, M, 3)).astype(np.float32)
+        cand_nrm = rng.normal(size=(B, M, 3)).astype(np.float32)
+        cand_nrm /= np.linalg.norm(cand_nrm, axis=-1, keepdims=True)
+        cand_ok = np.ones((B, M), bool)
+        a = spfh_tile_pallas(
+            jnp.asarray(q_xyz), jnp.asarray(q_nrm), jnp.asarray(cand_xyz),
+            jnp.asarray(cand_nrm), jnp.asarray(cand_ok),
+            r2=1.0, chunk=128, interpret=True,
+        )
+        b = spfh_tile_pallas(
+            jnp.asarray(q_xyz), jnp.asarray(q_nrm), jnp.asarray(cand_xyz),
+            jnp.asarray(cand_nrm), jnp.asarray(cand_ok),
+            r2=1.0, chunk=256, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]))
