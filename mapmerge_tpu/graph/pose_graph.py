@@ -174,11 +174,12 @@ def refine_global_transforms(
     global_t: list[np.ndarray],
     confidence_threshold: float = 0.0,
     max_iterations: int = 50,
-    huber_delta: float = 0.1,
+    huber_delta: float | None = None,
     tol: float = 1e-10,
     reject_outliers: bool = True,
     seed_gate_deg: float = 25.0,
     seed_gate_m: float = 1.5,
+    _reject_depth: int = 3,
 ) -> list[np.ndarray]:
     """Relax all confident pairwise edges from the MST seed.
 
@@ -188,13 +189,20 @@ def refine_global_transforms(
     gauge fixed at the node whose seed is the identity (the MST reference),
     so the reference frame is unchanged.
 
-    After first convergence, edges whose residual is gross (beyond both
-    the Huber knee and 6x the median) are dropped outright and the solve
-    repeats once — the Huber kernel bounds a bad edge's pull but does not
-    remove it, and one wrong registration that cleared the confidence
-    threshold should not bend the whole map (reference analog: RANSAC's
-    in-band zero-matrix failure, matching.cpp:128-133, just later in the
-    pipeline).
+    `huber_delta=None` (default) re-estimates the Huber knee every IRLS
+    iteration from the residuals themselves: delta = clip(3 * median |r|,
+    0.01, 0.1). A fixed knee mis-weights clean graphs badly — measured on
+    the 20-map eval config, per-hop error is ~0.004 rad, so a 0.1 knee
+    left 0.2-rad junk edges at HALF weight and they bent the whole map by
+    mass (6 deg end-to-end drift over 0.2-deg hops).
+
+    After each convergence, edges whose residual is gross (beyond
+    6x the median and the knee) are dropped outright and the solve repeats
+    (up to `_reject_depth` rounds) — the Huber kernel bounds a bad edge's
+    pull but does not remove it, and one wrong registration that cleared
+    the confidence threshold should not bend the whole map (reference
+    analog: RANSAC's in-band zero-matrix failure, matching.cpp:128-133,
+    just later in the pipeline).
     """
     n = len(global_t)
     active = np.array([t[:3, :3].any() for t in global_t])
@@ -274,22 +282,32 @@ def refine_global_transforms(
         Z = _inv44(T) @ M
         return se3_log(Z), M
 
-    def cost_of(r):
+    def knee_of(r):
+        if huber_delta is not None:
+            return huber_delta
+        rn = np.linalg.norm(r, axis=-1)
+        return float(np.clip(3.0 * np.median(rn), 0.01, 0.1))
+
+    def cost_of(r, delta):
         rn = np.linalg.norm(r, axis=-1)
         # Huber: quadratic core, linear tail
-        quad = rn <= huber_delta
-        c = np.where(
-            quad, 0.5 * rn**2, huber_delta * (rn - 0.5 * huber_delta)
-        )
+        quad = rn <= delta
+        c = np.where(quad, 0.5 * rn**2, delta * (rn - 0.5 * delta))
         return float(np.sum(w * c))
 
     lam = 1e-6
     r, M = residuals(G)
-    cost = cost_of(r)
+    delta_h = knee_of(r)
+    cost = cost_of(r, delta_h)
     for _ in range(max_iterations):
-        # robust reweighting (IRLS form of the Huber kernel)
+        # robust reweighting (IRLS form of the Huber kernel), knee
+        # re-estimated from the current residual scale
+        delta_h = knee_of(r)
+        cost = cost_of(r, delta_h)
         rn = np.linalg.norm(r, axis=-1)
-        w_eff = w * np.where(rn <= huber_delta, 1.0, huber_delta / np.maximum(rn, _EPS))
+        w_eff = w * np.where(
+            rn <= delta_h, 1.0, delta_h / np.maximum(rn, _EPS)
+        )
 
         Jri = _jr_inv(r)  # (E,6,6)
         Ji = Jri
@@ -336,7 +354,7 @@ def refine_global_transforms(
             delta[sel] = delta_f
             G_new = G @ se3_exp(delta.reshape(n, 6))
             r_new, M_new = residuals(G_new)
-            c_new = cost_of(r_new)
+            c_new = cost_of(r_new, delta_h)
             if c_new < cost:
                 G, r, M, cost = G_new, r_new, M_new, c_new
                 lam = max(lam * 0.3, 1e-9)
@@ -347,17 +365,34 @@ def refine_global_transforms(
         if np.linalg.norm(delta) < tol:
             break
 
-    if reject_outliers:
+    if reject_outliers and _reject_depth > 0:
         rn = np.linalg.norm(r, axis=-1)
-        gross = rn > np.maximum(3.0 * huber_delta, 6.0 * np.median(rn))
+        # gross = clearly outside the converged inlier population: beyond
+        # the (adaptive) knee AND 6x the median residual
+        gross = rn > np.maximum(3.0 * delta_h, 6.0 * np.median(rn))
         if gross.any() and not gross.all():
             kept = [e for e, g in zip(edges, gross) if not g]
-            # only reject if every active node keeps an edge (stay connected)
+            # connectivity: a node whose every edge is gross keeps its
+            # LEAST-BAD edge instead of blocking the whole rejection (the
+            # previous all-or-nothing guard let one poorly-attached map
+            # preserve every junk edge in the graph)
             deg = np.zeros(n, int)
             for e in kept:
                 deg[e.source_idx] += 1
                 deg[e.target_idx] += 1
-            if all(deg[i] > 0 for i in range(n) if active[i]):
+            for i in range(n):
+                if active[i] and deg[i] == 0:
+                    cand = [
+                        (rn[k], e)
+                        for k, e in enumerate(edges)
+                        if e.source_idx == i or e.target_idx == i
+                    ]
+                    if cand:
+                        _, best = min(cand, key=lambda c: c[0])
+                        kept.append(best)
+                        deg[best.source_idx] += 1
+                        deg[best.target_idx] += 1
+            if len(kept) < len(edges):
                 seeded = [
                     G[i].astype(np.float32) if active[i]
                     else np.zeros((4, 4), np.float32)
@@ -365,7 +400,9 @@ def refine_global_transforms(
                 ]
                 return refine_global_transforms(
                     kept, seeded, confidence_threshold, max_iterations,
-                    huber_delta, tol, reject_outliers=False,
+                    huber_delta, tol,
+                    reject_outliers=True,
+                    _reject_depth=_reject_depth - 1,
                 )
 
     out = []
