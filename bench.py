@@ -106,11 +106,16 @@ def main():
         f"accuracy gate failed: rot {rot_err} deg, trans {trans_err} m"
     )
 
-    reps = 3
-    t0 = time.perf_counter()
+    # median of >= 5 reps with spread: the relay dispatch floor is a
+    # measured 90-130 ms lottery per round trip, so a mean-of-few is not a
+    # reproducible headline (VERDICT r4 weak 1)
+    reps = 5
+    walls = []
     for r in range(reps):
+        t0 = time.perf_counter()
         estimate_maps_transforms([va, vb], params, seed=0)
-    elapsed = (time.perf_counter() - t0) / reps
+        walls.append(time.perf_counter() - t0)
+    elapsed = float(np.median(walls))
 
     pairs_per_sec = 1.0 / elapsed
 
@@ -127,6 +132,10 @@ def main():
                 "value": round(pairs_per_sec, 4),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs_baseline, 2),
+                "reps": reps,
+                "median_s": round(elapsed, 4),
+                "min_s": round(min(walls), 4),
+                "max_s": round(max(walls), 4),
             }
         )
     )

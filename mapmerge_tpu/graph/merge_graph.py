@@ -28,12 +28,20 @@ import numpy as np
 
 @dataclasses.dataclass
 class TransformEstimate:
-    """Pairwise estimate (reference graph.h:24-36)."""
+    """Pairwise estimate (reference graph.h:24-36).
+
+    `ambiguous` (no reference analog) marks registrations flagged at
+    registration time as structurally weak evidence — low source->target
+    coverage or a RANSAC consensus that admits materially different poses
+    (pipeline/registration.PairEstimate.ambiguous). The MST solve ignores
+    it (reference semantics); the pose-graph refiner down-weights such
+    edges (graph/pose_graph.py)."""
 
     source_idx: int
     target_idx: int
     transform: np.ndarray  # (4, 4) float32; zeros when estimation failed
     confidence: float
+    ambiguous: bool = False
 
 
 class DisjointSets:

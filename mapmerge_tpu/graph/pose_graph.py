@@ -275,6 +275,16 @@ def refine_global_transforms(
     # sqrt-compress so one sharp edge cannot dominate the whole solve
     w = np.sqrt(np.maximum(conf, _EPS))
     w /= w.mean()
+    # edges flagged ambiguous at registration time (low coverage / RANSAC
+    # consensus spread, TransformEstimate.ambiguous) carry weak evidence
+    # regardless of their 1/score confidence — a floor-dominated pair can
+    # ace the score while its pose is unconstrained along the plane. Keep
+    # them (they still connect the graph) but at a fraction of the weight.
+    amb = np.asarray(
+        [bool(getattr(e, "ambiguous", False)) for e in edges]
+    )
+    if amb.any() and not amb.all():
+        w = np.where(amb, 0.25 * w, w)
 
     def residuals(G):
         # r = log((G_j T)^-1 G_i): zero iff G_i = G_j @ T
@@ -402,6 +412,8 @@ def refine_global_transforms(
                     kept, seeded, confidence_threshold, max_iterations,
                     huber_delta, tol,
                     reject_outliers=True,
+                    seed_gate_deg=seed_gate_deg,
+                    seed_gate_m=seed_gate_m,
                     _reject_depth=_reject_depth - 1,
                 )
 

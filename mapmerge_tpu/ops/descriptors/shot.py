@@ -11,11 +11,20 @@ deliberately over shape-only SHOT352):
     shells) x 11 bins over cos(angle(n_j, z_lrf)) = 352 values.
   - Color part: 32 volumes x 31 bins over the mean L1 CIELab distance
     between neighbor and keypoint color = 992 values.
+  - PCL-faithful QUADRILINEAR soft-binning (pcl::SHOTEstimation's
+    additive interpolation scheme): each neighbor votes (1 - |residual|)
+    into its own (volume, bin) cell along each of the four axes —
+    histogram bin, azimuth sector, elevation half, radial shell — and
+    |residual| into the adjacent cell along that axis (azimuth and the
+    histogram bin wrap modulo their cell count as in PCL; elevation and
+    radial votes outside the sphere are dropped). Total vote mass is 4
+    per neighbor before the final L2 normalization, exactly like PCL.
   - L2-normalized (PCL normalizes the full descriptor).
 
-Deviation from PCL (documented): no quadrilinear soft-binning — hard bins
-only. This costs some boundary smoothness, not discriminative structure;
-pose parity is validated at the pipeline level, not per-bin.
+Remaining documented difference: the reference color is the nearest
+surface point's color (our keypoints are refined positions, not input
+points, so they carry no color of their own), where PCL uses the query
+point's stored RGB.
 """
 
 from __future__ import annotations
@@ -136,43 +145,94 @@ def compute_shot(
     ly = jnp.einsum("kmi,ki->km", off, y_ax)
     lz = jnp.einsum("kmi,ki->km", off, z_ax)
 
-    azimuth = jnp.arctan2(ly, lx)  # [-pi, pi]
-    a_bin = jnp.clip(
-        jnp.floor((azimuth + jnp.pi) / (2 * jnp.pi) * _AZIMUTH), 0, _AZIMUTH - 1
-    )
-    e_bin = (lz >= 0).astype(jnp.float32)
-    r_bin = (dist >= radius / 2.0).astype(jnp.float32)
-    vol = (a_bin * _ELEVATION * _RADIAL + e_bin * _RADIAL + r_bin).astype(
-        jnp.int32
-    )  # (K, M) in [0, 32)
+    # ---- spatial cells + residuals (quadrilinear axes 2-4) ----
+    # azimuth: 8 sectors over [-pi, pi), wrap-adjacent
+    pa = (jnp.arctan2(ly, lx) + jnp.pi) / (2 * jnp.pi) * _AZIMUTH  # [0, 8]
+    a_bin = jnp.clip(jnp.floor(pa), 0, _AZIMUTH - 1)
+    ra = pa - (a_bin + 0.5)  # [-0.5, 0.5]
+    a_adj = jnp.mod(a_bin + jnp.sign(ra), _AZIMUTH)
+    # elevation: inclination theta in [0, pi]; cells upper (theta<90deg,
+    # e=1) / lower (e=0), centers 45/135 deg, no wrap
+    safe_d = jnp.maximum(dist, 1e-12)
+    theta = jnp.arccos(jnp.clip(lz / safe_d, -1.0, 1.0))
+    pe = theta / (jnp.pi / 2.0)  # [0, 2]
+    e_cell = jnp.clip(jnp.floor(pe), 0, 1)  # 0 = upper half
+    re = pe - (e_cell + 0.5)
+    e_adj_cell = e_cell + jnp.sign(re)
+    e_adj_ok = (e_adj_cell >= 0) & (e_adj_cell <= 1)
+    e_bin = 1.0 - e_cell  # volume index: 1 = upper (lz >= 0)
+    e_adj = 1.0 - jnp.clip(e_adj_cell, 0, 1)
+    # radial: shells split at radius/2, centers r/4 and 3r/4, no wrap
+    pr = dist / (radius / 2.0)  # [0, 2]
+    r_bin = jnp.clip(jnp.floor(pr), 0, 1)  # 1 = outer shell
+    rr = pr - (r_bin + 0.5)
+    r_adj = r_bin + jnp.sign(rr)
+    r_adj_ok = (r_adj >= 0) & (r_adj <= 1)
+    r_adj = jnp.clip(r_adj, 0, 1)
 
-    # shape channel: cos(n_j, z_lrf) into 11 bins
+    def vol_of(a, e, r):
+        return (a * _ELEVATION * _RADIAL + e * _RADIAL + r).astype(jnp.int32)
+
+    vol = vol_of(a_bin, e_bin, r_bin)  # (K, M) in [0, 32)
+
+    # ---- histogram-bin axis (axis 1) per channel ----
+    # shape: binDistance = (1+cos)/2 * (nbins-1) in [0, 10]; PCL wraps the
+    # +-1 adjacent bin modulo (nbins-1) — reproduced as-is
     cos_t = jnp.clip(jnp.einsum("kmi,ki->km", nbr_nrm, z_ax), -1.0, 1.0)
-    s_bin = jnp.clip(
-        jnp.floor((cos_t + 1.0) / 2.0 * _SHAPE_BINS), 0, _SHAPE_BINS - 1
-    ).astype(jnp.int32)
+    bd_s = (cos_t + 1.0) / 2.0 * (_SHAPE_BINS - 1)
+    s_bin = jnp.clip(jnp.floor(bd_s + 0.5), 0, _SHAPE_BINS - 1)
+    rs = bd_s - s_bin
+    s_adj = jnp.mod(s_bin + jnp.sign(rs), _SHAPE_BINS - 1)
 
-    # color channel: mean L1 CIELab distance to the keypoint color
+    # color: mean per-channel CIELab L1 distance to the keypoint color,
+    # channels normalized L/100, a/120, b/120 (PCL's normalization)
     kp_rgb = nbr_rgb[:, 0, :]  # nearest surface point's color
     lab_n = _rgb_to_lab(nbr_rgb)
     lab_k = _rgb_to_lab(kp_rgb)[:, None, :]
-    # normalize each Lab channel span so d lands in [0, 1]
-    span = jnp.asarray([100.0, 256.0, 256.0], jnp.float32)
+    span = jnp.asarray([100.0, 120.0, 120.0], jnp.float32)
     dcol = jnp.sum(jnp.abs(lab_n - lab_k) / span, axis=-1) / 3.0
-    c_bin = jnp.clip(
-        jnp.floor(dcol * _COLOR_BINS / 0.5), 0, _COLOR_BINS - 1
-    ).astype(jnp.int32)  # span 0..0.5 covers typical distances
+    bd_c = jnp.clip(dcol, 0.0, 1.0) * (_COLOR_BINS - 1)
+    c_bin = jnp.clip(jnp.floor(bd_c + 0.5), 0, _COLOR_BINS - 1)
+    rc = bd_c - c_bin
+    c_adj = jnp.mod(c_bin + jnp.sign(rc), _COLOR_BINS - 1)
 
     w = (nmask & lrf_ok[:, None]).astype(jnp.float32)
 
-    shape_joint = vol * _SHAPE_BINS + s_bin
-    k = shape_joint.shape[0]
-    oh_s = jax.nn.one_hot(shape_joint, _VOLUMES * _SHAPE_BINS, dtype=jnp.float32)
-    hist_s = jnp.einsum("km,kmb->kb", w, oh_s)
+    def soft_hist(bin_own, bin_adj, rb, nbins):
+        """Additive quadrilinear accumulation, PCL scheme: the own
+        (volume, bin) cell gets sum_axes (1 - |residual|); each axis's
+        adjacent cell gets |residual| at the own coordinate of the other
+        axes. Returns (K, 32 * nbins)."""
+        central = (
+            (1.0 - jnp.abs(rb))
+            + (1.0 - jnp.abs(ra))
+            + (1.0 - jnp.abs(re))
+            + (1.0 - jnp.abs(rr))
+        )
+        contributions = [
+            (vol, bin_own, w * central),
+            (vol, bin_adj, w * jnp.abs(rb)),
+            (vol_of(a_adj, e_bin, r_bin), bin_own, w * jnp.abs(ra)),
+            (
+                vol_of(a_bin, e_adj, r_bin),
+                bin_own,
+                w * jnp.abs(re) * e_adj_ok,
+            ),
+            (
+                vol_of(a_bin, e_bin, r_adj),
+                bin_own,
+                w * jnp.abs(rr) * r_adj_ok,
+            ),
+        ]
+        hist = jnp.zeros((vol.shape[0], _VOLUMES * nbins), jnp.float32)
+        for v, b, ww in contributions:
+            joint = v * nbins + b.astype(jnp.int32)
+            oh = jax.nn.one_hot(joint, _VOLUMES * nbins, dtype=jnp.float32)
+            hist = hist + jnp.einsum("km,kmb->kb", ww, oh)
+        return hist
 
-    color_joint = vol * _COLOR_BINS + c_bin
-    oh_c = jax.nn.one_hot(color_joint, _VOLUMES * _COLOR_BINS, dtype=jnp.float32)
-    hist_c = jnp.einsum("km,kmb->kb", w, oh_c)
+    hist_s = soft_hist(s_bin, s_adj, rs, _SHAPE_BINS)
+    hist_c = soft_hist(c_bin, c_adj, rc, _COLOR_BINS)
 
     data = jnp.concatenate([hist_s, hist_c], axis=-1)  # (K, 1344)
     norm = jnp.sqrt(jnp.maximum(jnp.sum(data * data, axis=-1), 1e-12))

@@ -358,17 +358,29 @@ def grid_query(
 def masked_query_grid(grid: CellGrid, q_mask: jax.Array, n: int) -> CellGrid:
     """Derive the query grid for "the grid's own points, restricted to
     q_mask" without a second sort: same slots, occupancy intersected with
-    the mask. Query overflow inherits the point grid's (a needed point
-    dropped at build time is exactly a dropped query)."""
+    the mask.
+
+    Query overflow counts only q_mask points dropped at build time (a
+    needed point dropped by the bucket cap is exactly a dropped query;
+    build-time drops OUTSIDE q_mask were never queried and must not fire
+    the query-overflow warning — ADVICE r4)."""
     mask_pad = jnp.concatenate([q_mask, jnp.zeros((1,), bool)])
     cell_ok = grid.cell_ok & mask_pad[grid.cell_idx]
+    # which original points survived the build cap: every index present in
+    # an occupied slot (slot index n = empty is sliced off via the pad row)
+    kept = (
+        jnp.zeros((n + 1,), bool)
+        .at[grid.cell_idx.reshape(-1)]
+        .max(grid.cell_ok.reshape(-1), mode="drop")[:n]
+    )
+    overflow = jnp.sum(q_mask[:n] & ~kept).astype(jnp.int32)
     return CellGrid(
         cell_xyz=grid.cell_xyz,
         cell_idx=grid.cell_idx,
         cell_ok=cell_ok,
         count=jnp.sum(cell_ok, axis=1).astype(jnp.int32),
         raw_max=grid.raw_max,
-        overflow=grid.overflow,
+        overflow=overflow,
         cell_size=grid.cell_size,
         dims=grid.dims,
         cap=grid.cap,

@@ -37,6 +37,13 @@ class Keypoints:
     xyz: jax.Array  # (K, 3) float32
     response: jax.Array  # (K,) float32
     mask: jax.Array  # (K,) bool
+    #: above-threshold detections beyond `max_keypoints` that the top-k cut
+    #: dropped (the reference keeps ALL above-threshold keypoints,
+    #: features.cpp:85-97) — surfaced as a warning by
+    #: estimate_maps_transforms like every other cap (no silent caps)
+    truncated: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
     @property
     def count(self) -> jax.Array:
@@ -169,4 +176,7 @@ def detect_keypoints_harris(
         xyz=kp_xyz,
         response=jnp.where(kp_mask, top_scores, 0.0),
         mask=kp_mask,
+        truncated=jnp.maximum(
+            jnp.sum(keep).astype(jnp.int32) - jnp.int32(k), 0
+        ),
     )

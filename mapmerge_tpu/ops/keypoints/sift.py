@@ -196,4 +196,9 @@ def detect_keypoints_sift(
         xyz=kp_xyz,
         response=jnp.where(kp_mask, top_resp, 0.0),
         mask=kp_mask,
+        truncated=jnp.maximum(
+            jnp.sum(resp_all > -BIG / 2).astype(jnp.int32)
+            - jnp.int32(max_keypoints),
+            0,
+        ),
     )

@@ -33,6 +33,28 @@ class RansacResult:
     inliers: jax.Array  # (S,) bool inlier mask over source slots
     inlier_count: jax.Array  # () int32
     ok: jax.Array  # () bool
+    #: consensus purity: the fraction of COMPETITIVE hypotheses (inlier
+    #: support >= 85% of the winner's) whose pose AGREES with the winner
+    #: (within 2x the inlier threshold translation and 10 deg rotation).
+    #: Minimal 3-point samples scatter around the true pose by about the
+    #: inlier threshold, so a well-constrained pair has most competitive
+    #: hypotheses agreeing (purity near 1); an ambiguous pair (e.g.
+    #: floor-dominated overlap, where translation along the plane is
+    #: unconstrained) supports materially DIFFERENT poses with equal
+    #: inlier mass — purity drops. Used by the ambiguity flag
+    #: (pipeline/registration.py); 1 when not ok (no evidence of
+    #: ambiguity from a failed estimate — failure is its own signal).
+    consensus_purity: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.ones((), jnp.float32)
+    )
+    #: raw diagnostics behind the purity: worst pose deviation from the
+    #: winner among competitive hypotheses (deg / m); 0 when not ok
+    spread_deg: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.float32)
+    )
+    spread_m: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.float32)
+    )
 
 
 def _sample_hypotheses(
@@ -94,6 +116,50 @@ def ransac_transform(
     refit_t, refit_ok = kabsch(src, dst, best_inliers.astype(jnp.float32))
 
     ok = (best_count >= 3) & refit_ok
+
+    # ambiguity signal: consensus purity of the near-best hypothesis set.
+    # All hypotheses are already solved and scored (the batched design
+    # gives this for free where PCL's sequential early-exit loop could
+    # not). Competitive = within max(2, 15% of best) inliers of the
+    # winner: the absolute slack matters when consensus is thin (a
+    # floor-on-floor pair wins with ~5 accidental inliers and dozens of
+    # 3-4-inlier hypotheses at scattered poses are statistically
+    # indistinguishable from it). Agreement is judged by DATA
+    # DISPLACEMENT, not parameter distance: two transforms are the same
+    # answer iff they move the winning consensus points to (nearly) the
+    # same places — rms displacement over the winner's inliers <= 2x the
+    # inlier threshold, the resolution at which inlier counting can
+    # distinguish poses at all. (Parameter-space tolerances mis-scale
+    # with scene size: a 10-deg tolerance is generous on a wide scan and
+    # hopeless on a compact one.)
+    bc = jnp.maximum(best_count, 1).astype(jnp.float32)
+    slack = jnp.maximum(2.0, 0.15 * bc)
+    competitive = hyp_ok & (counts.astype(jnp.float32) >= bc - slack)
+    n_inl = jnp.maximum(jnp.sum(best_inliers), 1).astype(jnp.float32)
+    disp2 = jnp.sum(
+        jnp.where(
+            best_inliers[None, :, None],
+            (moved - moved[best][None]) ** 2,
+            0.0,
+        ),
+        axis=(1, 2),
+    ) / n_inl  # (H,) mean-square displacement over the consensus set
+    agree = competitive & (
+        disp2 <= jnp.float32((2.0 * inlier_threshold) ** 2)
+    )
+    n_comp = jnp.sum(competitive)
+    purity = jnp.sum(agree) / jnp.maximum(n_comp, 1)
+    # raw diagnostics: worst parameter-space deviation among competitive
+    best_t = hyp_t[best]  # (4, 4)
+    rel_rot = jnp.einsum("ij,hkj->hik", best_t[:3, :3], hyp_t[:, :3, :3])
+    tr = rel_rot[:, 0, 0] + rel_rot[:, 1, 1] + rel_rot[:, 2, 2]
+    rot_dev = jnp.degrees(
+        jnp.arccos(jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0))
+    )
+    trans_dev = jnp.linalg.norm(hyp_t[:, :3, 3] - best_t[:3, 3], axis=-1)
+    spread_deg = jnp.max(jnp.where(competitive, rot_dev, 0.0))
+    spread_m = jnp.max(jnp.where(competitive, trans_dev, 0.0))
+
     transform = jnp.where(ok, refit_t, tf.zero())
     inliers = best_inliers & ok
     return RansacResult(
@@ -101,4 +167,7 @@ def ransac_transform(
         inliers=inliers,
         inlier_count=jnp.where(ok, jnp.sum(inliers), 0).astype(jnp.int32),
         ok=ok,
+        consensus_purity=jnp.where(ok, purity, 1.0).astype(jnp.float32),
+        spread_deg=jnp.where(ok, spread_deg, 0.0),
+        spread_m=jnp.where(ok, spread_m, 0.0),
     )

@@ -526,15 +526,41 @@ def shot_np(xyz, rgb, normals, nvalid, kp_xyz, radius, tree):
     """pcl::SHOTColorEstimation -> SHOT1344 (dispatch_descriptors.h:44-46):
     32 spatial volumes (8 azimuth x 2 elevation x 2 radial) x 11 shape bins
     over cos(n_j, z_lrf) + 32 x 31 color bins over normalized CIELab L1
-    distance, L2-normalized. Hard bins (same documented deviation from
-    PCL's quadrilinear soft-binning as ops/descriptors/shot.py — parity is
-    judged at the POSE level)."""
+    distance, with PCL's additive QUADRILINEAR soft-binning (each neighbor
+    votes 1-|residual| into its own cell along each of the four axes and
+    |residual| into the adjacent cell; azimuth and histogram bins wrap,
+    elevation/radial votes outside the sphere are dropped), L2-normalized.
+    Twin of ops/descriptors/shot.py."""
     nk = len(kp_xyz)
     desc = np.zeros((nk, 1344))
     valid = np.zeros(nk, bool)
     lists = tree.query_ball_point(kp_xyz, radius)
     lab_all = _rgb_to_lab_np(rgb)
-    span = np.array([100.0, 256.0, 256.0])
+    span = np.array([100.0, 120.0, 120.0])
+
+    def soft_hist(vol, a_bin, e_bin, r_bin, ra, re, rr, e_ok, r_ok,
+                  b_own, b_adj, rb, nbins):
+        def vol_of(a, e, r):
+            return (a * 4 + e * 2 + r).astype(np.int64)
+
+        central = (
+            (1 - np.abs(rb)) + (1 - np.abs(ra))
+            + (1 - np.abs(re)) + (1 - np.abs(rr))
+        )
+        a_adj = np.mod(a_bin + np.sign(ra), 8)
+        e_adj = 1 - np.clip((1 - e_bin) + np.sign(re), 0, 1)
+        r_adj = np.clip(r_bin + np.sign(rr), 0, 1)
+        h = np.zeros(32 * nbins)
+        for v, b, w in (
+            (vol, b_own, central),
+            (vol, b_adj, np.abs(rb)),
+            (vol_of(a_adj, e_bin, r_bin), b_own, np.abs(ra)),
+            (vol_of(a_bin, e_adj, r_bin), b_own, np.abs(re) * e_ok),
+            (vol_of(a_bin, e_bin, r_adj), b_own, np.abs(rr) * r_ok),
+        ):
+            np.add.at(h, (v * nbins + b).astype(np.int64), w)
+        return h
+
     for q, nb in enumerate(lists):
         nb = np.asarray(nb, np.int64)
         nb = nb[nvalid[nb]]
@@ -548,24 +574,42 @@ def shot_np(xyz, rgb, normals, nvalid, kp_xyz, radius, tree):
             continue
         x, y, z = lrf
         off = xyz[nb] - kp_xyz[q]
-        azimuth = np.arctan2(off @ y, off @ x)
-        a_bin = np.clip(
-            np.floor((azimuth + np.pi) / (2 * np.pi) * 8), 0, 7
-        ).astype(np.int64)
-        e_bin = (off @ z >= 0).astype(np.int64)
-        r_bin = (d >= radius / 2.0).astype(np.int64)
+        pa = (np.arctan2(off @ y, off @ x) + np.pi) / (2 * np.pi) * 8
+        a_bin = np.clip(np.floor(pa), 0, 7).astype(np.int64)
+        ra = pa - (a_bin + 0.5)
+        safe_d = np.maximum(d, 1e-12)
+        theta = np.arccos(np.clip((off @ z) / safe_d, -1.0, 1.0))
+        pe = theta / (np.pi / 2.0)
+        e_cell = np.clip(np.floor(pe), 0, 1).astype(np.int64)
+        re = pe - (e_cell + 0.5)
+        e_ok = (e_cell + np.sign(re) >= 0) & (e_cell + np.sign(re) <= 1)
+        e_bin = 1 - e_cell  # volume index: 1 = upper (z >= 0)
+        pr = d / (radius / 2.0)
+        r_bin = np.clip(np.floor(pr), 0, 1).astype(np.int64)
+        rr = pr - (r_bin + 0.5)
+        r_ok = (r_bin + np.sign(rr) >= 0) & (r_bin + np.sign(rr) <= 1)
         vol = a_bin * 4 + e_bin * 2 + r_bin
 
         cos_t = np.clip(normals[nb] @ z, -1.0, 1.0)
-        s_bin = np.clip(np.floor((cos_t + 1.0) / 2.0 * 11), 0, 10).astype(
-            np.int64
+        bd_s = (cos_t + 1.0) / 2.0 * 10
+        s_bin = np.clip(np.floor(bd_s + 0.5), 0, 10).astype(np.int64)
+        rs = bd_s - s_bin
+        s_adj = np.mod(s_bin + np.sign(rs), 10).astype(np.int64)
+        hist_s = soft_hist(
+            vol, a_bin, e_bin, r_bin, ra, re, rr, e_ok, r_ok,
+            s_bin, s_adj, rs, 11,
         )
-        hist_s = np.bincount(vol * 11 + s_bin, minlength=352)[:352]
 
         lab_k = lab_all[nb[0]]
         dcol = (np.abs(lab_all[nb] - lab_k) / span).sum(-1) / 3.0
-        c_bin = np.clip(np.floor(dcol * 31 / 0.5), 0, 30).astype(np.int64)
-        hist_c = np.bincount(vol * 31 + c_bin, minlength=992)[:992]
+        bd_c = np.clip(dcol, 0.0, 1.0) * 30
+        c_bin = np.clip(np.floor(bd_c + 0.5), 0, 30).astype(np.int64)
+        rc = bd_c - c_bin
+        c_adj = np.mod(c_bin + np.sign(rc), 30).astype(np.int64)
+        hist_c = soft_hist(
+            vol, a_bin, e_bin, r_bin, ra, re, rr, e_ok, r_ok,
+            c_bin, c_adj, rc, 31,
+        )
 
         h = np.concatenate([hist_s, hist_c]).astype(np.float64)
         norm = np.linalg.norm(h)

@@ -18,7 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mapmerge_tpu.core.cloud import PointCloud
 from mapmerge_tpu.core.params import MergeParams
@@ -51,7 +51,7 @@ def extract_features_sharded(
         mesh=mesh,
         in_specs=(P(PAIR_AXIS),),
         out_specs=P(PAIR_AXIS),
-        check_rep=False,
+        check_vma=False,
     )(batch)
 
 
@@ -83,8 +83,50 @@ def estimate_pairs_sharded(
         mesh=mesh,
         in_specs=(P(), P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS)),
         out_specs=P(PAIR_AXIS),
-        check_rep=False,
+        check_vma=False,
     )(features, src_idx, tgt_idx, keys)
+
+
+def extract_features_staged_parallel(
+    clouds: list[PointCloud], params: MergeParams, mesh: Mesh
+) -> CloudFeatures:
+    """Big-cloud staged feature extraction, round-robined over the mesh's
+    local devices (VERDICT r4 missing 2).
+
+    At >= features.STAGED_THRESHOLD capacity the per-cloud feature stage
+    must run as separate per-stage programs (one fused program exceeds
+    HBM), so it cannot ride the shard_map cloud axis — but the per-cloud
+    staged programs are INDEPENDENT. Committing each cloud's input to mesh
+    device i % n_local makes every stage of that cloud execute on that
+    device; async dispatch queues all clouds' stages up front, so devices
+    work concurrently. This replaces the serial, replicated per-cloud loop
+    the single-chip path uses (pipeline/merging.py big path; reference
+    analog: the sequential per-cloud loops, map_merging.cpp:205-243).
+
+    Output: one (B, ...) CloudFeatures batch replicated over the mesh
+    (the pair stage consumes features replicated, in_spec P()).
+    """
+    from jax.sharding import NamedSharding
+
+    from mapmerge_tpu.core.cloud import pad_cloud
+    from mapmerge_tpu.pipeline.features import extract_features_staged
+
+    devices = list(mesh.devices.flat)
+    local = [
+        d for d in devices if d.process_index == jax.process_index()
+    ] or devices
+    cap = max(c.capacity for c in clouds)
+    feats = []
+    for i, cloud in enumerate(clouds):
+        dev = local[i % len(local)]
+        padded = jax.device_put(pad_cloud(cloud, cap), dev)
+        feats.append(extract_features_staged(padded, params))
+    dev0 = local[0]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jax.device_put(x, dev0) for x in xs]), *feats
+    )
+    # replicate onto the whole mesh for the pair stage (in_spec P())
+    return jax.device_put(stacked, NamedSharding(mesh, P()))
 
 
 def pad_pairs(pairs: list[tuple[int, int]], n_devices: int):

@@ -25,6 +25,17 @@ from mapmerge_tpu.ops.score import transform_score
 from mapmerge_tpu.pipeline.features import CloudFeatures
 
 
+#: default ambiguity thresholds (PairEstimate.ambiguous): a registration is
+#: flagged when under 25% of the source overlaps the target in range, when
+#: under 60% of the competitive RANSAC hypotheses agree with the winning
+#: pose (ops/ransac.py consensus_purity), or when the winning consensus
+#: explains under 10% of the putative correspondences (accidental-inlier
+#: wins on self-similar geometry)
+AMBIGUITY_MIN_COVERAGE = 0.25
+AMBIGUITY_MIN_PURITY = 0.6
+AMBIGUITY_MIN_SUPPORT = 0.1
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PairEstimate:
@@ -39,6 +50,49 @@ class PairEstimate:
     scan_overflow: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((), jnp.int32)
     )
+    #: fraction of valid source points whose NN in the target lands within
+    #: max_correspondence_distance under the final transform (ops/score.py)
+    #: — low coverage marks a low-overlap (ambiguity-prone) registration
+    coverage: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.float32)
+    )
+    #: RANSAC consensus purity (ops/ransac.py): fraction of competitive
+    #: hypotheses agreeing with the winning pose. Low purity = the
+    #: correspondences support multiple distinct poses (e.g. translation
+    #: sliding along a dominant plane). 1 for SAC_IA (no per-hypothesis
+    #: pose bank is kept there) and for failed estimates.
+    consensus_purity: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.ones((), jnp.float32)
+    )
+    #: inlier support: winning inlier count / putative correspondence
+    #: count. A registration whose consensus explains only a sliver of the
+    #: matches (self-similar geometry -> arbitrary matches -> accidental
+    #: inliers) is structurally weak however well ICP then polishes it.
+    #: 1 for SAC_IA and for failed estimates.
+    support: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.ones((), jnp.float32)
+    )
+
+    def ambiguous(
+        self,
+        min_coverage: float = AMBIGUITY_MIN_COVERAGE,
+        min_purity: float = AMBIGUITY_MIN_PURITY,
+        min_support: float = AMBIGUITY_MIN_SUPPORT,
+    ):
+        """Ambiguity flag (VERDICT r4 weak 6): a successful registration
+        whose evidence is structurally weak — the aligned overlap is a
+        small fraction of the source (coverage), the RANSAC consensus
+        splits over materially different poses (purity), or the winning
+        consensus explains almost none of the matches (support). Works on
+        scalars and on batched (pair-axis) estimates alike."""
+        import jax.numpy as _jnp
+
+        weak = (
+            (self.coverage < min_coverage)
+            | (self.consensus_purity < min_purity)
+            | (self.support < min_support)
+        )
+        return self.ok & _jnp.asarray(weak)
 
 
 def estimate_transform(
@@ -65,9 +119,12 @@ def estimate_transform(
             key=key,
         )
         transform, ok, inliers = res.transform, res.ok, res.inlier_count
+        purity = res.consensus_purity
+        support = inliers / jnp.maximum(jnp.sum(corr.valid), 1)
     elif params.estimation_method == EstimationMethod.SAC_IA:
         from mapmerge_tpu.ops.sacia import sacia_transform
 
+        purity = support = jnp.ones((), jnp.float32)
         transform, ok, inliers = sacia_transform(
             source.keypoints,
             source.descriptors,
@@ -139,4 +196,7 @@ def estimate_transform(
         confidence=conf,
         inlier_count=inliers,
         scan_overflow=overflow,
+        coverage=jnp.where(ok, coverage, 0.0).astype(jnp.float32),
+        consensus_purity=purity,
+        support=jnp.where(ok, support, 1.0).astype(jnp.float32),
     )

@@ -78,11 +78,12 @@ class TestTwoMapMerge:
         # coarse-stage gate (refine_transform off — NOT the reference
         # default): RANSAC-on-FPFH alone carries a few degrees on this
         # scene (the scipy-cKDTree oracle measures >= 15 deg on it; r4's
-        # uncapped PCL-faithful SPFH moved us from 1.9 to 3.3 deg).
-        # test_refined_merge_with_noise holds the DEFAULT pipeline
-        # (+ ICP) to 1 deg / 0.08 m.
-        assert rot_err < 5.0, f"rotation error {rot_err} deg"
-        assert trans_err < 0.25, f"translation error {trans_err} m"
+        # uncapped PCL-faithful SPFH moved us from 1.9 to 3.3 deg —
+        # pinned here at 4.0/0.2 so any further coarse-stage regression
+        # is visible, ADVICE r4). test_refined_merge_with_noise holds
+        # the DEFAULT pipeline (+ ICP) to 1 deg / 0.08 m.
+        assert rot_err < 4.0, f"rotation error {rot_err} deg"
+        assert trans_err < 0.2, f"translation error {trans_err} m"
 
     def test_refined_merge_with_noise(self, scene):
         """Default MATCHING + ICP refine path (matching.cpp:250-253)."""
