@@ -179,6 +179,7 @@ def refine_global_transforms(
     reject_outliers: bool = True,
     seed_gate_deg: float = 25.0,
     seed_gate_m: float = 1.5,
+    rot_scale_m: float | None = None,
     _reject_depth: int = 3,
 ) -> list[np.ndarray]:
     """Relax all confident pairwise edges from the MST seed.
@@ -203,6 +204,16 @@ def refine_global_transforms(
     the confidence threshold should not bend the whole map (reference
     analog: RANSAC's in-band zero-matrix failure, matching.cpp:128-133,
     just later in the pipeline).
+
+    `rot_scale_m` makes rotation and translation residuals commensurate:
+    the se(3) log mixes meters (rho) with radians (phi), and ICP-grade
+    edge noise is centimeters of translation but only millidegrees of
+    rotation — unscaled, the solve happily trades degrees of rotation to
+    shave centimeters (measured on the 50-map stream: translation drift
+    4x better, rotation 2x WORSE). Scaling phi by the graph's spatial
+    extent expresses rotational misfit as the displacement it causes at
+    the map's edge. Default (None): the RMS distance of the active nodes
+    from their centroid, clipped to [1, 50] m.
     """
     n = len(global_t)
     active = np.array([t[:3, :3].any() for t in global_t])
@@ -286,17 +297,34 @@ def refine_global_transforms(
     if amb.any() and not amb.all():
         w = np.where(amb, 0.25 * w, w)
 
+    # commensurate units: scale rotational residual components by the
+    # graph's spatial extent (see docstring) so "cost" means displacement
+    # at the map edge for rotation and translation alike
+    pos = G[active][:, :3, 3]
+    if rot_scale_m is None:
+        spread = np.sqrt(((pos - pos.mean(0)) ** 2).sum(1).mean())
+        rot_l = float(np.clip(spread, 1.0, 50.0))
+    else:
+        rot_l = float(rot_scale_m)
+    svec = np.array([1.0, 1.0, 1.0, rot_l, rot_l, rot_l])
+
     def residuals(G):
         # r = log((G_j T)^-1 G_i): zero iff G_i = G_j @ T
         M = _inv44(G[tgt]) @ G[src]  # (E,4,4)
         Z = _inv44(T) @ M
-        return se3_log(Z), M
+        return se3_log(Z) * svec, M
 
     def knee_of(r):
         if huber_delta is not None:
             return huber_delta
         rn = np.linalg.norm(r, axis=-1)
-        return float(np.clip(3.0 * np.median(rn), 0.01, 0.1))
+        # residuals are displacement-equivalent meters (svec): the knee
+        # lives in [1 cm, 5 cm] — ICP-grade edge noise is <= ~3 cm of
+        # displacement at map scale, junk edges are >= ~30 cm, so the
+        # ceiling keeps genuinely noisy edges in the down-weighted tail
+        # instead of letting a noisy-majority graph pull the knee over
+        # its own noise (measured on the 12-node ring fixture)
+        return float(np.clip(3.0 * np.median(rn), 0.01, 0.05))
 
     def cost_of(r, delta):
         rn = np.linalg.norm(r, axis=-1)
@@ -309,19 +337,29 @@ def refine_global_transforms(
     r, M = residuals(G)
     delta_h = knee_of(r)
     cost = cost_of(r, delta_h)
-    for _ in range(max_iterations):
+    # graduated non-convexity: the MST seed satisfies exactly the (noisy)
+    # tree edges, so at the seed the off-tree edges — including the loop
+    # closures that carry the drift signal — hold ALL the residual and an
+    # adaptive knee would tail-weight precisely them. Start wide (90th
+    # percentile: everything inside the gate is quadratic, the solve is
+    # balanced least squares) and halve toward the adaptive knee so
+    # robustness returns once the estimate has moved off the seed.
+    gnc0 = float(np.quantile(np.linalg.norm(r, axis=-1), 0.9)) + _EPS
+    for it in range(max_iterations):
         # robust reweighting (IRLS form of the Huber kernel), knee
         # re-estimated from the current residual scale
-        delta_h = knee_of(r)
+        delta_h = max(knee_of(r), gnc0 * 0.5**it)
         cost = cost_of(r, delta_h)
         rn = np.linalg.norm(r, axis=-1)
         w_eff = w * np.where(
             rn <= delta_h, 1.0, delta_h / np.maximum(rn, _EPS)
         )
 
-        Jri = _jr_inv(r)  # (E,6,6)
-        Ji = Jri
-        Jj = -Jri @ _se3_adjoint(_inv44(M))
+        # Jacobians of the SCALED residual: S * d log / d xi (the raw
+        # right-Jacobian argument is the unscaled log residual)
+        Jri = _jr_inv(r / svec)  # (E,6,6)
+        Ji = Jri * svec[None, :, None]
+        Jj = (-Jri @ _se3_adjoint(_inv44(M))) * svec[None, :, None]
 
         # assemble H (6N,6N), b (6N) via scatter-add of 6x6 blocks
         H = np.zeros((6 * n, 6 * n))
@@ -414,6 +452,7 @@ def refine_global_transforms(
                     reject_outliers=True,
                     seed_gate_deg=seed_gate_deg,
                     seed_gate_m=seed_gate_m,
+                    rot_scale_m=rot_scale_m,
                     _reject_depth=_reject_depth - 1,
                 )
 
