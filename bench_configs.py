@@ -719,7 +719,10 @@ def config5_big():
     ordered = [transforms[f"robot_{i:02d}"] for i in range(n_maps)]
     check_adjacent(ordered, truths, rot_tol=5.0, trans_tol=0.5, min_ok=40)
     drift = end_to_end_drift(ordered, truths)
-    assert drift[0] < 10.0 and drift[1] < 0.5, f"drift gate: {drift}"
+    # loop closures + map-radius-scaled pose-graph refinement (r5) hold
+    # the stream to 0.28 deg / 0.10 m measured; gate at the VERDICT r4
+    # item 3 target, tighter than r4's observed 0.65/0.28
+    assert drift[0] < 0.5 and drift[1] < 0.25, f"drift gate: {drift}"
     merged = node.get_merged_map()
     assert merged is not None and int(merged.count) > 10000
     vs = oracle_wall / wall

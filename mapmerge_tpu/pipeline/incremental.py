@@ -262,6 +262,26 @@ class WorldModel:
                 )
             )
 
+    def _map_radius(self) -> float:
+        """RMS radius of the first registered map's points — the spatial
+        scale at which a rotation error displaces actual geometry (the
+        pose-graph refiner's rot_scale_m; node POSITION spread is the
+        wrong proxy for heavily-overlapping streams whose poses cluster
+        far tighter than their maps extend). Cached after first use."""
+        if getattr(self, "_radius", None) is None:
+            feats = self.entries[0].features
+            if feats is None:  # bare-pose worlds (tests) fall back to
+                return None  # the refiner's node-spread default
+            cloud = feats.cloud
+            xyz = np.asarray(cloud.xyz)
+            m = np.asarray(cloud.mask)
+            pts = xyz[m]
+            c = pts.mean(0)
+            self._radius = float(
+                np.clip(np.sqrt(((pts - c) ** 2).sum(1).mean()), 1.0, 50.0)
+            )
+        return self._radius
+
     def refine(self, confidence_threshold: float = 0.0) -> bool:
         """Relax the accumulated edge set with the same SE(3) pose-graph
         refinement the offline pipeline runs (graph/pose_graph.py) and
@@ -280,7 +300,8 @@ class WorldModel:
 
         seed = [np.asarray(e.pose, np.float32) for e in self.entries]
         refined = refine_global_transforms(
-            self.edges, seed, confidence_threshold
+            self.edges, seed, confidence_threshold,
+            rot_scale_m=self._map_radius(),
         )
         for i, entry in enumerate(self.entries):
             if np.asarray(refined[i]).any():
