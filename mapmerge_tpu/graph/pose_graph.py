@@ -210,10 +210,13 @@ def refine_global_transforms(
     edge noise is centimeters of translation but only millidegrees of
     rotation — unscaled, the solve happily trades degrees of rotation to
     shave centimeters (measured on the 50-map stream: translation drift
-    4x better, rotation 2x WORSE). Scaling phi by the graph's spatial
-    extent expresses rotational misfit as the displacement it causes at
-    the map's edge. Default (None): the RMS distance of the active nodes
-    from their centroid, clipped to [1, 50] m.
+    4x better, rotation 2x WORSE). Scaling phi by the MAP's spatial
+    radius expresses rotational misfit as the displacement it causes at
+    the map's edge. Callers that know the map radius pass it
+    (pipeline/incremental.WorldModel.refine does); the default (None)
+    keeps the classic mixed-unit residual — inferring the scale from
+    node-position spread measurably mis-balances junk-heavy all-pairs
+    graphs and is NOT done.
     """
     n = len(global_t)
     active = np.array([t[:3, :3].any() for t in global_t])
@@ -290,22 +293,27 @@ def refine_global_transforms(
     # consensus spread, TransformEstimate.ambiguous) carry weak evidence
     # regardless of their 1/score confidence — a floor-dominated pair can
     # ace the score while its pose is unconstrained along the plane. Keep
-    # them (they still connect the graph) but at a fraction of the weight.
+    # them at HALF weight: harsher (0.25) measurably breaks all-pairs
+    # graphs of strip-like scenes, where the only TRUE long-range
+    # connectors are themselves low-overlap (flagged) and junk edges
+    # take over once they are suppressed.
     amb = np.asarray(
         [bool(getattr(e, "ambiguous", False)) for e in edges]
     )
     if amb.any() and not amb.all():
-        w = np.where(amb, 0.25 * w, w)
+        w = np.where(amb, 0.5 * w, w)
 
-    # commensurate units: scale rotational residual components by the
-    # graph's spatial extent (see docstring) so "cost" means displacement
-    # at the map edge for rotation and translation alike
-    pos = G[active][:, :3, 3]
-    if rot_scale_m is None:
-        spread = np.sqrt(((pos - pos.mean(0)) ** 2).sum(1).mean())
-        rot_l = float(np.clip(spread, 1.0, 50.0))
-    else:
-        rot_l = float(rot_scale_m)
+    # commensurate units: with rot_scale_m given, rotational residual
+    # components are scaled by the MAP's spatial extent so "cost" means
+    # displacement at the map edge for rotation and translation alike
+    # (see docstring — callers who know the map radius pass it; the
+    # stream's WorldModel does). Default is the classic mixed-unit
+    # residual (rot_l = 1): measured on the junk-heavy 20-map all-pairs
+    # graph, inferring the scale from node-position spread flips the
+    # rotation/translation balance enough to split the graph into two
+    # 15-deg blocks, while mixed units solve it to 19/20 — scale
+    # inference from poses alone is NOT a safe default.
+    rot_l = 1.0 if rot_scale_m is None else float(rot_scale_m)
     svec = np.array([1.0, 1.0, 1.0, rot_l, rot_l, rot_l])
 
     def residuals(G):
@@ -318,13 +326,13 @@ def refine_global_transforms(
         if huber_delta is not None:
             return huber_delta
         rn = np.linalg.norm(r, axis=-1)
-        # residuals are displacement-equivalent meters (svec): the knee
-        # lives in [1 cm, 5 cm] — ICP-grade edge noise is <= ~3 cm of
-        # displacement at map scale, junk edges are >= ~30 cm, so the
-        # ceiling keeps genuinely noisy edges in the down-weighted tail
-        # instead of letting a noisy-majority graph pull the knee over
-        # its own noise (measured on the 12-node ring fixture)
-        return float(np.clip(3.0 * np.median(rn), 0.01, 0.05))
+        # knee in [0.01, 0.1] (r2-r4 calibration, svec units): a tighter
+        # ceiling (0.05) measured better on a synthetic noisy ring but
+        # SPLITS the junk-heavy 20-map all-pairs graph (10/20 vs 19/20
+        # within 1 deg) — the wider ceiling lets the solve keep pulling
+        # on the few true cross-block edges whose residuals sit above a
+        # tight knee
+        return float(np.clip(3.0 * np.median(rn), 0.01, 0.1))
 
     def cost_of(r, delta):
         rn = np.linalg.norm(r, axis=-1)
