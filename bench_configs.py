@@ -593,9 +593,13 @@ def config5():
     from mapmerge_tpu.runtime.transport import InProcTransport
 
     views, truths = town_views(50, view_resized_target=2048, seed=5)
+    # ICP refinement ON (the reference default): RANSAC-only pairwise
+    # poses carry degrees of error on these tiny 2048-pt views, and a
+    # ~25-hop chain compounds that past any graph solve's reach
+    # (measured 28 deg end-to-end without ICP vs the <10 deg gate)
     params = MergeParams(
         keypoint_type="SIFT", keypoint_threshold=3.0,
-        descriptor_type="FPFH", refine_transform=False,
+        descriptor_type="FPFH", refine_transform=True, max_iterations=20,
         max_points=4096, max_keypoints=128, max_neighbors=32,
         ransac_hypotheses=256, neighbor_tile=256,
     )

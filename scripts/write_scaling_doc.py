@@ -40,6 +40,18 @@ def main():
     c4 = rows["config4_20map_mesh8"]
     tpu = rows["scaling_tpu_1chip"]
 
+    if "pair_wall_by_ndev" not in c4:
+        # old-format (r4) record: {1,8} walls only, no busy accounting
+        c4 = dict(
+            c4,
+            pair_wall_by_ndev={"1": c4["wall_1dev"], "8": c4["value"]},
+            pair_busy_cpu_s_by_ndev={},
+            pair_completion_skew_s_8dev=None,
+            host_cores=os.cpu_count() or 1,
+            model=None,
+            feature_wall_8dev=None,
+            graph_solve_wall=None,
+        )
     wall = {int(k): v for k, v in c4["pair_wall_by_ndev"].items()}
     busy = {int(k): v for k, v in c4["pair_busy_cpu_s_by_ndev"].items()}
     model = c4["model"]
@@ -83,32 +95,37 @@ def main():
     a(f"never improve past min(n_dev, {cores}) here; what the study")
     a("DOES establish is the decomposition the projection rests on:")
     a("")
-    a("| n_dev | pair wall (s) | busy: process-CPU (s) | wall x min(n, cores) / busy |")
+    a("| n_dev | pair wall (s) | busy: process-CPU (s) | busy / (wall x min(n, cores)) |")
     a("|---|---|---|---|")
     for n in sorted(wall):
-        util = busy[n] / (wall[n] * min(n, cores))
-        a(
-            f"| {n} | {wall[n]:.2f} | {busy[n]:.2f} | "
-            f"{util:.2f} utilization |"
-        )
+        if n in busy:
+            util = busy[n] / (wall[n] * min(n, cores))
+            a(
+                f"| {n} | {wall[n]:.2f} | {busy[n]:.2f} | "
+                f"{util:.2f} utilization |"
+            )
+        else:
+            a(f"| {n} | {wall[n]:.2f} | — | — |")
     a("")
-    a("- **Busy-time conservation:** total CPU seconds are ~constant")
-    a("  across device counts — sharding the pair axis duplicates no")
-    a("  work (features are replicated once per device as data, not")
-    a("  recomputed).")
-    a(
-        f"- **Completion skew at 8 devices:** "
-        f"{c4['pair_completion_skew_s_8dev']} s between first and last"
-    )
-    a("  shard — the 24-pairs-per-device decomposition is balanced.")
-    a(
-        f"- **Model:** `{model['form']}` fitted on n in {{2,4,8}} "
-        f"(busy_total = {model['busy_total_s']} s, overhead = "
-        f"{model['overhead_s']} s) predicts the held-out 1-device wall at "
-        f"{model['pred_wall_1dev']} s vs measured "
-        f"{model['measured_wall_1dev']} s — relative error "
-        f"{model['rel_err_1dev'] * 100:.1f}%."
-    )
+    if busy:
+        a("- **Busy-time conservation:** total CPU seconds are ~constant")
+        a("  across device counts — sharding the pair axis duplicates no")
+        a("  work (features are replicated once per device as data, not")
+        a("  recomputed).")
+        a(
+            f"- **Completion skew at 8 devices:** "
+            f"{c4['pair_completion_skew_s_8dev']} s between first and last"
+        )
+        a("  shard — the 24-pairs-per-device decomposition is balanced.")
+    if model:
+        a(
+            f"- **Model:** `{model['form']}` fitted on n in {{2,4,8}} "
+            f"(busy_total = {model['busy_total_s']} s, overhead = "
+            f"{model['overhead_s']} s) predicts the held-out 1-device wall at "
+            f"{model['pred_wall_1dev']} s vs measured "
+            f"{model['measured_wall_1dev']} s — relative error "
+            f"{model['rel_err_1dev'] * 100:.1f}%."
+        )
     a("")
     a("## 3. Multi-chip projection (from measured terms)")
     a("")
@@ -145,6 +162,14 @@ def main():
     a("")
     a("## 4. End-to-end (features under the mesh too)")
     a("")
+    if c4.get("feature_wall_8dev") is None:
+        a("(pending the r5 config4 re-run; the committed record is the")
+        a("r4-format pair-stage-only line)")
+        out = os.path.join(REPO, "docs", "SCALING.md")
+        with open(out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print("wrote (partial)", out)
+        return
     a(
         f"config4 now measures END-TO-END on the 8-device mesh: features "
         f"sharded over the cloud axis ({c4['feature_wall_8dev']} s) + "
