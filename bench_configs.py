@@ -447,7 +447,13 @@ def config4():
     )
     wall, busy, skew = {}, {}, {}
     feat_bytes = _tree_bytes(features)
-    for n_dev in (1, 2, 4, 8):
+    est8 = None
+    # 8-dev first: the essential sharded measurement (and the estimates
+    # the gates consume) lands even if a wall-clock budget kills the run
+    # mid-compile of a later device count; a partial record is emitted
+    # after every count (XLA:CPU AOT cache entries do not reload across
+    # processes on this host, so each run pays its own compiles)
+    for n_dev in (8, 1, 2, 4):
         mesh = make_mesh(jax.devices()[:n_dev])
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -474,6 +480,27 @@ def config4():
         wall[n_dev] = time.perf_counter() - t0
         busy[n_dev] = _cpu_time() - c0
         skew[n_dev] = round(max(stamps) - min(stamps), 3) if len(stamps) > 1 else 0.0
+        if n_dev == 8:
+            est8 = est
+        emit(
+            {
+                "config": "config4_20map_mesh8",
+                "metric": "20-map merge scaling study on virtual CPU mesh "
+                "(PARTIAL: device counts measured so far)",
+                "value": round(wall[8], 2),
+                "unit": "s",
+                "feature_wall_8dev": round(t_feat8, 2),
+                "pair_wall_by_ndev": {str(n): round(w, 2) for n, w in wall.items()},
+                "pair_busy_cpu_s_by_ndev": {
+                    str(n): round(b, 2) for n, b in busy.items()
+                },
+                "pair_completion_skew_s_8dev": skew.get(8),
+                "host_cores": os.cpu_count() or 1,
+                "replicated_feature_bytes": feat_bytes,
+                "partial": True,
+            }
+        )
+    est = est8
 
     # ---- analytic model (docs/SCALING.md) ----
     # wall(n) = busy_total / min(n, cores) + overhead(n). Fit on n in
@@ -508,28 +535,16 @@ def config4():
         estimates, transforms, params.confidence_threshold
     )
     t_graph = time.perf_counter() - t0
-    # full-pipeline per-hop accuracy (ICP refine on)
+    # full-pipeline per-hop accuracy (ICP refine on); min_ok=0 here —
+    # the GATES run after the final emit so a quality failure still
+    # leaves the measured record on disk
     hop_errs = check_adjacent(
-        transforms, truths, rot_tol=5.0, trans_tol=0.5, min_ok=14
+        transforms, truths, rot_tol=5.0, trans_tol=0.5, min_ok=0
     )
     drift = end_to_end_drift(transforms, truths)
-    # robust accuracy gate: the refined pose graph must place the BULK of
-    # the maps tightly — >= 18/20 within 1 deg / 0.1 m of truth relative
-    # to map 0. The worst map is reported, not gated: one view of this
-    # fixture (map 18, measured r4) has floor-dominated overlaps whose
-    # highest-confidence registrations are consistently ~8.5 deg wrong
-    # (only 4 of its 15 edges agree with truth) — unrecoverable by any
-    # graph solve, and the reference's MST-only chaining lands 19.5 deg
-    # off end-to-end on the same estimates (vs 0.4 deg for our bulk).
-    # NEW r5: such edges are now FLAGGED at registration time
-    # (PairEstimate.ambiguous) and down-weighted in the pose graph.
     per_map = _per_map_errors(transforms, truths)
     within = sum(
         1 for e in per_map if e is not None and e[0] < 1.0 and e[1] < 0.1
-    )
-    assert within >= 18, (
-        f"bulk accuracy gate: only {within}/20 maps within 1 deg / 0.1 m "
-        f"({per_map})"
     )
     n_ambiguous = int(amb.sum())
     bad_map_edges_flagged = sum(
@@ -579,6 +594,21 @@ def config4():
             "ceiling is min(n_dev, cores); chip-scaling projection in "
             "docs/SCALING.md uses the measured TPU t_pair instead",
         }
+    )
+    # accuracy gates LAST (the measured record above survives a failure):
+    # >= 14/19 adjacent hops within 5 deg / 0.5 m, and the refined pose
+    # graph must place the BULK of the maps tightly — >= 18/20 within
+    # 1 deg / 0.1 m of truth relative to map 0. The worst map is
+    # reported, not gated: one view of this fixture (map 18, r4/r5
+    # measured) has floor-dominated overlaps whose highest-confidence
+    # registrations are consistently wrong — unrecoverable by any graph
+    # solve; r5 flags such edges at registration time
+    # (PairEstimate.ambiguous) and the pose graph half-weights them.
+    n_hop_ok = sum(1 for e in hop_errs if e[0] < 5.0 and e[1] < 0.5)
+    assert n_hop_ok >= 14, f"adjacent-pair gate: only {n_hop_ok} ok ({hop_errs[:8]}...)"
+    assert within >= 18, (
+        f"bulk accuracy gate: only {within}/20 maps within 1 deg / 0.1 m "
+        f"({per_map})"
     )
 
 
